@@ -1,0 +1,104 @@
+"""4D feature correlation, mutual-matching gating and 4D max-pooling.
+
+Capability parity with the reference ops (see
+/root/reference/networks/modules.py:11-53 ``maxpool4d``/``FeatCorrelation``
+and /root/reference/networks/ncn/model.py:157-176 ``MutualMatching``),
+re-designed for TPU:
+
+  * features are channels-last ``(B, H, W, C)`` so upstream convs hit the
+    native TPU layout,
+  * the correlation volume is kept as ``(B, h1, w1, h2, w2)`` — no dummy
+    channel axis, no permutes,
+  * maxpool4d is a reshape + single max/argmax reduction instead of a
+    k^4 Python slice loop; the argmax decode matches the reference's
+    (i, j, k, l) ordering so relocalisation offsets agree exactly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_normalize(feat: jax.Array, axis: int = -1, eps: float = 1e-6) -> jax.Array:
+    """L2-normalise ``feat`` along ``axis``.
+
+    Matches the reference normalisation
+    (/root/reference/networks/modules.py:6): x / sqrt(sum(x^2) + eps).
+    """
+    sq = jnp.sum(jnp.square(feat), axis=axis, keepdims=True)
+    return feat * jax.lax.rsqrt(sq + eps)
+
+
+def feat_correlation(feat1: jax.Array, feat2: jax.Array) -> jax.Array:
+    """Dense 4D correlation volume between two feature maps.
+
+    Args:
+      feat1: ``(B, h1, w1, C)`` channels-last features.
+      feat2: ``(B, h2, w2, C)``.
+
+    Returns:
+      ``(B, h1, w1, h2, w2)`` correlation volume
+      ``corr[b, i, j, k, l] = <feat1[b, i, j], feat2[b, k, l]>``.
+
+    Equivalent to the reference's bmm-based ``FeatCorrelation('4D')``
+    (/root/reference/networks/modules.py:41-53) but as one einsum so XLA
+    maps it straight onto the MXU.
+    """
+    corr = jnp.einsum(
+        "bijc,bklc->bijkl", feat1, feat2, preferred_element_type=jnp.float32
+    )
+    return corr
+
+
+def mutual_matching(corr: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Soft mutual-nearest-neighbour gating of a correlation volume.
+
+    ``corr`` is ``(B, h1, w1, h2, w2)``. Returns
+    ``corr * (corr / max_A corr) * (corr / max_B corr)`` where ``max_A``
+    reduces over the (h1, w1) axes and ``max_B`` over (h2, w2) — the
+    formula of the reference ``MutualMatching``
+    (/root/reference/networks/ncn/model.py:157-176).
+    """
+    # max over source (h1, w1) for each target cell
+    max_a = jnp.max(corr, axis=(1, 2), keepdims=True)  # (B,1,1,h2,w2)
+    # max over target (h2, w2) for each source cell
+    max_b = jnp.max(corr, axis=(3, 4), keepdims=True)  # (B,h1,w1,1,1)
+    ratio_a = corr / (max_a + eps)
+    ratio_b = corr / (max_b + eps)
+    return corr * (ratio_a * ratio_b)
+
+
+def maxpool4d(corr: jax.Array, ksize: int = 2):
+    """4D max-pooling over (h1, w1, h2, w2) with argmax offset decode.
+
+    Args:
+      corr: ``(B, h1, w1, h2, w2)`` with every spatial dim divisible by
+        ``ksize``.
+      ksize: pooling window along each of the 4 dims.
+
+    Returns:
+      ``(pooled, (di, dj, dk, dl))`` where ``pooled`` is
+      ``(B, h1/k, w1/k, h2/k, w2/k)`` and each ``d*`` is the within-window
+      offset (same shape as ``pooled``, int32 in ``[0, ksize)``) of the
+      max element — the relocalisation information the reference calls
+      ``delta4d`` (/root/reference/networks/modules.py:11-34). The flat
+      window index is ``((di*k + dj)*k + dk)*k + dl`` matching the
+      reference's slice ordering.
+    """
+    if ksize == 1:
+        z = jnp.zeros(corr.shape, jnp.int32)
+        return corr, (z, z, z, z)
+    b, h1, w1, h2, w2 = corr.shape
+    k = ksize
+    x = corr.reshape(b, h1 // k, k, w1 // k, k, h2 // k, k, w2 // k, k)
+    # bring the four window axes together, in (i, j, k, l) order
+    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6, 8)
+    x = x.reshape(b, h1 // k, w1 // k, h2 // k, w2 // k, k * k * k * k)
+    pooled = jnp.max(x, axis=-1)
+    idx = jnp.argmax(x, axis=-1).astype(jnp.int32)
+    dl = idx % k
+    dk = (idx // k) % k
+    dj = (idx // (k * k)) % k
+    di = idx // (k * k * k)
+    return pooled, (di, dj, dk, dl)

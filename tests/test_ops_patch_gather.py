@@ -1,0 +1,71 @@
+"""Patch gather vs a literal per-point numpy loop (reference semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from patch2pix_tpu.ops import gather_local_patches
+from tests import golden
+
+
+def _gather_np(feats, points, feat_idx, feats_downsample, psize, ptype):
+    """Literal loop implementation of hypercolumn patch gathering."""
+    b, n, _ = points.shape
+    shift = psize // 2 if ptype == "center" else 0
+    dims = sum(feats[j].shape[-1] for j in feat_idx)
+    out = np.zeros((b, n, psize, psize, dims), np.float32)
+    for bi in range(b):
+        for ni in range(n):
+            x0, y0 = int(points[bi, ni, 0]), int(points[bi, ni, 1])
+            for py in range(psize):
+                for px in range(psize):
+                    col = []
+                    ds = 1
+                    for j, fmap in enumerate(feats):
+                        ds = ds * feats_downsample[j] if j > 0 else feats_downsample[0]
+                        if j not in feat_idx:
+                            continue
+                        hj, wj = fmap.shape[1], fmap.shape[2]
+                        xx = np.clip((x0 + px - shift) // ds, 0, wj - 1)
+                        yy = np.clip((y0 + py - shift) // ds, 0, hj - 1)
+                        col.append(fmap[bi, yy, xx])
+                    v = np.concatenate(col)
+                    out[bi, ni, py, px] = golden.l2_normalize_np(v, axis=0)
+    return out
+
+
+def test_gather_local_patches(rng):
+    feats_downsample = [1, 2, 2, 2, 2]
+    h, w = 32, 48
+    dims = [3, 8, 8, 16, 16]
+    feats = []
+    ds = 1
+    for j, c in enumerate(dims):
+        ds = ds * feats_downsample[j] if j > 0 else 1
+        feats.append(rng.standard_normal((2, h // ds, w // ds, c)).astype(np.float32))
+    points = np.stack(
+        [rng.integers(0, w, (2, 5)), rng.integers(0, h, (2, 5))], axis=-1
+    ).astype(np.float32)
+
+    got = np.asarray(
+        gather_local_patches(
+            [jnp.asarray(f) for f in feats],
+            jnp.asarray(points),
+            feat_idx=[0, 1, 2, 3],
+            feats_downsample=feats_downsample,
+            psize=4,
+            ptype="center",
+        )
+    )
+    want = _gather_np(feats, points, [0, 1, 2, 3], feats_downsample, 4, "center")
+    assert got.shape == (2, 5, 4, 4, 3 + 8 + 8 + 16)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gather_clamps_at_borders(rng):
+    feats = [rng.standard_normal((1, 8, 8, 4)).astype(np.float32)]
+    points = np.array([[[0.0, 0.0], [7.0, 7.0]]], np.float32)
+    got = gather_local_patches(
+        [jnp.asarray(feats[0])], jnp.asarray(points),
+        feat_idx=[0], feats_downsample=[1], psize=4, ptype="center",
+    )
+    assert np.isfinite(np.asarray(got)).all()
