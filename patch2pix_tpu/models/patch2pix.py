@@ -1,0 +1,308 @@
+"""Patch2Pix pipeline: coarse 4D-correlation matching + two-stage
+pixel-level regression.
+
+Capability parity with /root/reference/networks/patch2pix.py (class
+``Patch2Pix``: ``forward`` :220, ``predict_coarse`` :240,
+``predict_fine`` :250, ``refine_matches`` :278, ``cal_coarse_matches``
+:340, ``shift_to_anchors`` :377, ``parse_regressor_out`` :138), with the
+TPU redesign:
+
+  * all match plumbing is fixed-shape ``(B, N, 4)`` + validity masks —
+    the per-pair Python loops and host ``np.unique`` filtering are gone,
+  * both regressor stages run as one batched forward over every
+    proposal (no 1200-chunk loop),
+  * ``predict_*`` are pure functions of (params, images) and jit
+    cleanly with static shapes.
+
+The "NCNet-only" configuration of the reference (ImMatchNet,
+/root/reference/networks/ncn/model.py:215) is this model with
+``config.regressor = None`` — exactly how the reference's own eval path
+builds it (/root/reference/utils/eval/model_helper.py:53-57).
+
+Behavioural quirks preserved (accuracy-relevant, see SURVEY.md §7):
+  * regressor offsets are ``psize * tanh(relu(out)) - psize/2``,
+  * coarse matches are grid indices * upsample + upsample/2,
+  * eval forces panc=1; training expands each proposal to 8 corner
+    anchors shifted by ``pshift``,
+  * match coords are clamped to ``[0, W]`` (inclusive W, as the
+    reference does).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from patch2pix_tpu.config import ModelConfig
+from patch2pix_tpu.models.resnet import BACKBONES
+from patch2pix_tpu.models.ncn import NeighConsensus
+from patch2pix_tpu.models.regressor import FeatRegressNet
+from patch2pix_tpu.ops.correlation import l2_normalize, feat_correlation, maxpool4d, mutual_matching
+from patch2pix_tpu.ops.match_extract import (
+    Matches,
+    corr_to_matches,
+    grid_to_pixel,
+    mutual_consistency_mask,
+    score_threshold_mask,
+    select_ptmax,
+)
+from patch2pix_tpu.ops.patch_gather import gather_local_patches
+
+
+def shift_to_anchors(coords: jax.Array, pshift: int, panc: int) -> jax.Array:
+    """Expand each match to ``panc`` corner anchors.
+
+    coords ``(B, N, 4)`` -> ``(B, N*panc, 4)``. The 8-anchor template
+    shifts pt1 or pt2 to its four corners by ``pshift``
+    (/root/reference/networks/patch2pix.py:377-402). panc=1 is identity.
+    """
+    if panc == 1:
+        return coords
+    s = float(pshift)
+    template = jnp.asarray(
+        [
+            [-s, -s, 0, 0],
+            [s, -s, 0, 0],
+            [-s, s, 0, 0],
+            [s, s, 0, 0],
+            [0, 0, -s, -s],
+            [0, 0, s, -s],
+            [0, 0, -s, s],
+            [0, 0, s, s],
+        ],
+        dtype=coords.dtype,
+    )[:panc]
+    b, n, _ = coords.shape
+    out = coords[:, :, None, :] + template[None, None, :, :]
+    return out.reshape(b, n * panc, 4)
+
+
+def parse_regressor_out(
+    out: jax.Array,
+    in_coords: jax.Array,
+    psize: int,
+    ptype: str,
+    bounds: Tuple[int, int, int, int],
+) -> Tuple[jax.Array, jax.Array]:
+    """Raw regressor output -> refined matches + confidence.
+
+    out ``(B, N, 5)``; in_coords ``(B, N, 4)``. Offsets follow the
+    reference parameterisation ``psize * tanh(relu(o)) - psize/2``
+    with clamping to the image bounds
+    (/root/reference/networks/patch2pix.py:138-155).
+    """
+    w1, h1, w2, h2 = bounds
+    offset = float(psize) * jnp.tanh(nn.relu(out[..., :4]))
+    if ptype == "center":
+        offset = offset - float(psize // 2)
+    matches = in_coords.astype(jnp.float32) + offset
+    io_probs = nn.sigmoid(out[..., 4])
+    lims = jnp.asarray([w1, h1, w2, h2], dtype=jnp.float32)
+    matches = jnp.clip(matches, 0.0, lims)
+    return matches, io_probs
+
+
+class Patch2Pix(nn.Module):
+    """Full matching pipeline as a single Flax module."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        self.extract = BACKBONES[cfg.backbone](cfg.change_stride)
+        self.ncn = NeighConsensus(kernel_sizes=(3, 3), channels=(16, 1))
+        r = cfg.regressor
+        if r is not None:
+            self.regress_mid = FeatRegressNet(
+                conv_dims=r.conv_dims, conv_kers=r.conv_kers,
+                conv_strs=r.conv_strs, fc_dims=r.fc_dims,
+                feat_comb=r.feat_comb, psize=r.psize[0], name="regress_mid",
+            )
+            if r.shared:
+                self.regress_fine = self.regress_mid
+            else:
+                self.regress_fine = FeatRegressNet(
+                    conv_dims=r.conv_dims, conv_kers=r.conv_kers,
+                    conv_strs=r.conv_strs, fc_dims=r.fc_dims,
+                    feat_comb=r.feat_comb, psize=r.psize[1], name="regress_fine",
+                )
+
+    # ---------------- coarse stage ----------------
+
+    def extract_pyramid(self, im: jax.Array, train: bool = False):
+        """Backbone hypercolumn pyramid [im, conv1, layer1, layer2, layer3]."""
+        return self.extract(im, train=train, pyramid=True)
+
+    def coarse_corr(self, feat1: jax.Array, feat2: jax.Array, ksize: int = 1):
+        """L2norm -> correlate -> pool -> mutual -> NCN -> mutual.
+
+        Mirrors ``forward_coarse_match``
+        (/root/reference/networks/patch2pix.py:120-136).
+        """
+        feat1 = l2_normalize(feat1, axis=-1)
+        feat2 = l2_normalize(feat2, axis=-1)
+        corr = feat_correlation(feat1, feat2)
+        delta4d = None
+        if ksize > 1:
+            corr, delta4d = maxpool4d(corr, ksize)
+        corr = mutual_matching(corr)
+        corr = self.ncn(corr)
+        corr = mutual_matching(corr)
+        return corr, delta4d
+
+    def coarse_matches(
+        self,
+        corr: jax.Array,
+        delta4d,
+        ksize: int,
+        mutual: bool = True,
+        ncn_thres: float = 0.0,
+    ) -> Matches:
+        """Correlation volume -> fixed-shape pixel matches with validity.
+
+        Combines the reference's ``cal_coarse_matches`` + ``filter_coarse``
+        (/root/reference/networks/patch2pix.py:340-375,
+        /root/reference/networks/utils.py:38-72) as pure device ops.
+        """
+        nb = corr.shape[3] * corr.shape[4]
+        grid, scores, mut = corr_to_matches(corr, delta4d, ksize=ksize)
+        valid = mutual_consistency_mask(mut, nb, keep_mutual_only=mutual)
+        valid = score_threshold_mask(valid, scores, ncn_thres)
+        coords = grid_to_pixel(grid, upsample=self.config.upsample, center=True)
+        return Matches(coords=coords, scores=scores, valid=valid)
+
+    # ---------------- fine stage ----------------
+
+    def fine_match(
+        self,
+        feats1,
+        feats2,
+        coords: jax.Array,
+        stage: str,
+        train: bool = False,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One regression stage over every proposal.
+
+        coords ``(B, N, 4)`` -> (refined ``(B, N, 4)``, probs ``(B, N)``).
+        """
+        cfg = self.config
+        r = cfg.regressor
+        psize = r.psize[0] if stage == "mid" else r.psize[1]
+        regressor = self.regress_mid if stage == "mid" else self.regress_fine
+        b, n, _ = coords.shape
+        h1, w1 = feats1[0].shape[1], feats1[0].shape[2]
+        h2, w2 = feats2[0].shape[1], feats2[0].shape[2]
+
+        p1 = gather_local_patches(
+            feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
+            psize, "center",
+        )
+        p2 = gather_local_patches(
+            feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
+            psize, "center",
+        )
+        d = p1.shape[-1]
+        out = regressor(
+            p1.reshape(b * n, psize, psize, d),
+            p2.reshape(b * n, psize, psize, d),
+            train=train,
+        ).reshape(b, n, 5)
+        return parse_regressor_out(out, coords, psize, "center", (w1, h1, w2, h2))
+
+    # ---------------- end-to-end paths ----------------
+
+    def __call__(
+        self,
+        im1: jax.Array,
+        im2: jax.Array,
+        ksize: int = 2,
+        ptmax: int = 400,
+        train: bool = True,
+        backbone_train_bn: bool = False,
+    ):
+        """Training forward: coarse -> ptmax sample -> anchors -> mid -> fine.
+
+        Returns a dict with every tensor the loss needs; all fixed-shape.
+        """
+        cfg = self.config
+        r = cfg.regressor
+        feats1 = self.extract_pyramid(im1, train=backbone_train_bn)
+        feats2 = self.extract_pyramid(im2, train=backbone_train_bn)
+        corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
+        cm = self.coarse_matches(corr, delta4d, ksize, mutual=True, ncn_thres=0.0)
+        key = self.make_rng("proposal")
+        sel = select_ptmax(key, cm.coords, cm.scores, cm.valid, ptmax)
+        anchors = shift_to_anchors(sel.coords, r.pshift, r.panc)
+        mid_matches, mid_probs = self.fine_match(
+            feats1, feats2, anchors, "mid", train=train
+        )
+        fine_matches, fine_probs = self.fine_match(
+            feats1, feats2, mid_matches, "fine", train=train
+        )
+        return {
+            "coarse": anchors,
+            "mid": mid_matches,
+            "mid_probs": mid_probs,
+            "fine": fine_matches,
+            "fine_probs": fine_probs,
+            "corr": corr,
+        }
+
+    def predict_coarse(
+        self,
+        im1: jax.Array,
+        im2: jax.Array,
+        ksize: int = 2,
+        ncn_thres: float = 0.0,
+        mutual: bool = False,
+    ) -> Matches:
+        """Coarse-only inference (the reference's NCNet-style matcher,
+        /root/reference/networks/patch2pix.py:240-248)."""
+        feat1 = self.extract(im1, train=False)
+        feat2 = self.extract(im2, train=False)
+        corr, delta4d = self.coarse_corr(feat1, feat2, ksize)
+        return self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
+
+    def predict_fine(
+        self,
+        im1: jax.Array,
+        im2: jax.Array,
+        ksize: int = 2,
+        ncn_thres: float = 0.0,
+        mutual: bool = True,
+    ):
+        """Full inference (/root/reference/networks/patch2pix.py:250-276).
+
+        Eval uses panc=1 so anchors are the coarse matches themselves.
+        Returns (fine: Matches, mid: Matches, coarse: Matches) — all
+        N rows with the coarse validity mask carried through.
+        """
+        feats1 = self.extract_pyramid(im1, train=False)
+        feats2 = self.extract_pyramid(im2, train=False)
+        corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
+        cm = self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
+        mid_matches, mid_probs = self.fine_match(feats1, feats2, cm.coords, "mid")
+        fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
+        return (
+            Matches(fine_matches, fine_probs, cm.valid),
+            Matches(mid_matches, mid_probs, cm.valid),
+            cm,
+        )
+
+    def refine_matches(
+        self, im1: jax.Array, im2: jax.Array, coords: jax.Array
+    ):
+        """Refine externally-provided coarse matches (plug-in mode,
+        /root/reference/networks/patch2pix.py:278-318).
+
+        coords: ``(B, N, 4)`` pixel matches from any detector.
+        Returns (fine_matches, fine_probs, mid_matches, mid_probs).
+        """
+        feats1 = self.extract_pyramid(im1, train=False)
+        feats2 = self.extract_pyramid(im2, train=False)
+        mid_matches, mid_probs = self.fine_match(feats1, feats2, coords, "mid")
+        fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
+        return fine_matches, fine_probs, mid_matches, mid_probs
