@@ -1,0 +1,115 @@
+"""Host-side (numpy/OpenCV) two-view geometry for evaluation.
+
+Capability parity with /root/reference/utils/eval/geometry.py: the
+F/E/pose conversion lambdas :6-20, ``matches2relapose_cv`` :32,
+``matches2relapose_degensac`` :53 (gated: pydegensac is optional) and
+``abs2relapose`` :73. Device-side jnp equivalents for training losses
+live in ``patch2pix_tpu.ops.geometry``; the SfM backend's own RANSAC
+lives in ``patch2pix_tpu.sfm``.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from patch2pix_tpu.data.colmap_model import qvec2rotmat, rotmat2qvec
+
+
+def skew(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v).reshape(3)
+    return np.array(
+        [[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]], dtype=np.float64
+    )
+
+
+def pose2ess(R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    return skew(t) @ R
+
+
+def ess2fund(K1: np.ndarray, K2: np.ndarray, E: np.ndarray) -> np.ndarray:
+    return np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+
+
+def fund2ess(F: np.ndarray, K2: np.ndarray, K1: np.ndarray) -> np.ndarray:
+    return K2.T @ F @ K1
+
+
+def pose2fund(K1: np.ndarray, K2: np.ndarray, R: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """F from intrinsics + relative pose; the reference's formulation
+    (geometry.py:15): F = K2^-T R K1^T [K1 R^T t]_x."""
+    return np.linalg.inv(K2).T @ R @ K1.T @ skew((K1 @ R.T) @ np.asarray(t).reshape(3))
+
+
+def norm_fund(F: np.ndarray) -> np.ndarray:
+    return F / F[-1, -1]
+
+
+def abs2relapose(
+    c1: np.ndarray, c2: np.ndarray, q1: np.ndarray, q2: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Relative (t12, q12) from two absolute camera poses (world->cam
+    quaternions + camera centres); reference geometry.py:73-89."""
+    r1, r2 = qvec2rotmat(q1), qvec2rotmat(q2)
+    r12 = r2 @ r1.T
+    t12 = r2 @ (np.asarray(c1) - np.asarray(c2))
+    return t12, rotmat2qvec(r12)
+
+
+def _center_normalize(p1, p2, K1, K2):
+    """Shift to principal-point origin and rescale image-1 points to
+    image 2's focal length — the reference's preconditioning before
+    the 5-pt solver (geometry.py:34-45)."""
+    f1, f2 = K1[0, 0], K2[0, 0]
+    p1 = (np.asarray(p1, np.float64) - K1[:2, 2]) * (f2 / f1)
+    p2 = np.asarray(p2, np.float64) - K2[:2, 2]
+    K = np.array([[f2, 0, 0], [0, f2, 0], [0, 0, 1]], dtype=np.float64)
+    return p1, p2, K
+
+
+def matches2relapose_cv(
+    p1: np.ndarray,
+    p2: np.ndarray,
+    K1: np.ndarray,
+    K2: np.ndarray,
+    rthres: float = 1.0,
+):
+    """Essential matrix + relative pose via OpenCV 5-pt RANSAC.
+
+    Returns (E, inlier indices, R, t).
+    """
+    import cv2
+
+    p1n, p2n, K = _center_normalize(p1, p2, K1, K2)
+    E, inls = cv2.findEssentialMat(
+        p1n, p2n, cameraMatrix=K, method=cv2.FM_RANSAC, threshold=rthres
+    )
+    inls = np.where(inls.ravel() > 0)[0]
+    _, R, t, _ = cv2.recoverPose(E, p1n[inls], p2n[inls], K)
+    return E, inls, R, t
+
+
+def matches2relapose_degensac(
+    p1: np.ndarray,
+    p2: np.ndarray,
+    K1: np.ndarray,
+    K2: np.ndarray,
+    rthres: float = 1.0,
+):
+    """DEGENSAC variant (optional dependency; raises if unavailable)."""
+    import cv2
+
+    try:
+        import pydegensac
+    except ImportError as e:  # pragma: no cover - optional dep
+        raise ImportError(
+            "pydegensac is not installed; use matches2relapose_cv"
+        ) from e
+
+    p1n, p2n, K = _center_normalize(p1, p2, K1, K2)
+    F, inls = pydegensac.findFundamentalMatrix(p1n, p2n, rthres)
+    E = fund2ess(F, K, K)
+    inls = np.where(np.asarray(inls).ravel() > 0)[0]
+    _, R, t, _ = cv2.recoverPose(E, p1n[inls], p2n[inls], K)
+    return E, inls, R, t
