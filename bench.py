@@ -40,7 +40,7 @@ def build():
     from patch2pix_tpu.config import ModelConfig
     from patch2pix_tpu.models.patch2pix import Patch2Pix
 
-    model = Patch2Pix(config=ModelConfig().resolved())
+    model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     small = jnp.zeros((1, 96, 128, 3), jnp.float32)
     variables = model.init(

@@ -40,6 +40,15 @@ class ModelConfig:
     # feature dims of the ResNet34 pyramid levels [im, conv1, layer1, layer2]
     # (+ layer3=256 for level 4); see /root/reference/networks/patch2pix.py:20
     feat_dims: Tuple[int, ...] = (3, 64, 64, 128, 256)
+    # compute dtype for conv/matmul activations ("float32" | "bfloat16");
+    # params stay float32, correlation/losses accumulate in float32
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[self.dtype]
 
     @property
     def upsample(self) -> int:

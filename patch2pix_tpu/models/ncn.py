@@ -31,6 +31,7 @@ class NeighConsensus(nn.Module):
     kernel_sizes: Sequence[int] = (3, 3)
     channels: Sequence[int] = (16, 1)
     symmetric_mode: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, corr: jax.Array) -> jax.Array:
@@ -49,7 +50,7 @@ class NeighConsensus(nn.Module):
         def stack(x, transpose: bool):
             op = conv4d_transpose_symmetric if transpose else conv4d
             for w, b in weights:
-                x = nn.relu(op(x, w, b))
+                x = nn.relu(op(x.astype(self.dtype), w.astype(self.dtype), b))
             return x
 
         x = corr[..., None]  # add channel axis
@@ -57,4 +58,4 @@ class NeighConsensus(nn.Module):
             y = stack(x, False) + stack(x, True)
         else:
             y = stack(x, False)
-        return y[..., 0]
+        return y[..., 0].astype(jnp.float32)

@@ -112,14 +112,18 @@ class Patch2Pix(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.extract = BACKBONES[cfg.backbone](cfg.change_stride)
-        self.ncn = NeighConsensus(kernel_sizes=(3, 3), channels=(16, 1))
+        dtype = cfg.compute_dtype
+        self.extract = BACKBONES[cfg.backbone](cfg.change_stride, dtype=dtype)
+        self.ncn = NeighConsensus(
+            kernel_sizes=(3, 3), channels=(16, 1), dtype=dtype
+        )
         r = cfg.regressor
         if r is not None:
             self.regress_mid = FeatRegressNet(
                 conv_dims=r.conv_dims, conv_kers=r.conv_kers,
                 conv_strs=r.conv_strs, fc_dims=r.fc_dims,
-                feat_comb=r.feat_comb, psize=r.psize[0], name="regress_mid",
+                feat_comb=r.feat_comb, psize=r.psize[0], dtype=dtype,
+                name="regress_mid",
             )
             if r.shared:
                 self.regress_fine = self.regress_mid
@@ -127,7 +131,8 @@ class Patch2Pix(nn.Module):
                 self.regress_fine = FeatRegressNet(
                     conv_dims=r.conv_dims, conv_kers=r.conv_kers,
                     conv_strs=r.conv_strs, fc_dims=r.fc_dims,
-                    feat_comb=r.feat_comb, psize=r.psize[1], name="regress_fine",
+                    feat_comb=r.feat_comb, psize=r.psize[1], dtype=dtype,
+                    name="regress_fine",
                 )
 
     # ---------------- coarse stage ----------------
@@ -284,6 +289,13 @@ class Patch2Pix(nn.Module):
         feats2 = self.extract_pyramid(im2, train=False)
         corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
         cm = self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
+        if mutual:
+            # with mutual filtering every valid row lives in the
+            # direction-1 half (mutual_consistency_mask zeroes the
+            # direction-2 half), so the regressors only need the first
+            # nb rows — half the proposal work for identical output
+            nb = corr.shape[3] * corr.shape[4]
+            cm = Matches(cm.coords[:, :nb], cm.scores[:, :nb], cm.valid[:, :nb])
         mid_matches, mid_probs = self.fine_match(feats1, feats2, cm.coords, "mid")
         fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
         return (

@@ -34,9 +34,12 @@ class FeatRegressNet(nn.Module):
     feat_comb: str = "pre"  # concat inputs before ('pre') or after ('post') convs
     psize: int = 16
     out_dim: int = 5
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, f1: jax.Array, f2: jax.Array, train: bool = False) -> jax.Array:
+        f1 = f1.astype(self.dtype)
+        f2 = f2.astype(self.dtype)
         convs = []
         for i, (dim, k, s) in enumerate(
             zip(self.conv_dims, self.conv_kers, self.conv_strs)
@@ -44,9 +47,9 @@ class FeatRegressNet(nn.Module):
             convs.append(
                 (
                     nn.Conv(dim, (k, k), strides=(s, s), padding=[(1, 1), (1, 1)],
-                            use_bias=False, name=f"conv{i}"),
+                            use_bias=False, dtype=self.dtype, name=f"conv{i}"),
                     nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name=f"convbn{i}"),
+                                 epsilon=1e-5, dtype=self.dtype, name=f"convbn{i}"),
                 )
             )
 
@@ -66,8 +69,8 @@ class FeatRegressNet(nn.Module):
             feat = jnp.concatenate([conv_stack(f1), conv_stack(f2)], axis=-1)
 
         for i, dim in enumerate(self.fc_dims):
-            feat = nn.Dense(dim, name=f"fc{i}")(feat)
+            feat = nn.Dense(dim, dtype=self.dtype, name=f"fc{i}")(feat)
             feat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=f"fcbn{i}")(feat)
+                                epsilon=1e-5, dtype=self.dtype, name=f"fcbn{i}")(feat)
             feat = nn.relu(feat)
-        return nn.Dense(self.out_dim, name="fc_out")(feat)
+        return nn.Dense(self.out_dim, name="fc_out")(feat.astype(jnp.float32))

@@ -32,25 +32,26 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     use_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv1")(x)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         if self.use_projection:
             residual = nn.Conv(self.filters, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="downsample_bn")(residual)
+                                    epsilon=1e-5, dtype=self.dtype, name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -60,28 +61,29 @@ class Bottleneck(nn.Module):
     filters: int
     stride: int = 1
     use_projection: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, name="conv2")(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn2")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn3")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
         if self.use_projection:
             residual = nn.Conv(self.filters * 4, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="downsample_conv")(x)
+                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, name="downsample_bn")(residual)
+                                    epsilon=1e-5, dtype=self.dtype, name="downsample_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -92,14 +94,16 @@ class ResNetFeatures(nn.Module):
     block_cls: type = BasicBlock
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     change_stride: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, pyramid: bool = False):
+        x = x.astype(self.dtype)
         feats = [x]
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, name="bn1")(y)
+                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
         feats.append(y)
         # torch MaxPool2d(3, stride=2, padding=1)
@@ -120,7 +124,7 @@ class ResNetFeatures(nn.Module):
                 proj = bi == 0 and (s != 1 or in_ch != out_ch)
                 y = self.block_cls(
                     filters=filters, stride=s, use_projection=proj,
-                    name=f"layer{si + 1}_{bi}",
+                    dtype=self.dtype, name=f"layer{si + 1}_{bi}",
                 )(y, train=train)
                 in_ch = out_ch
             feats.append(y)
@@ -130,16 +134,19 @@ class ResNetFeatures(nn.Module):
         return y
 
 
-def resnet34(change_stride: bool = False) -> ResNetFeatures:
-    return ResNetFeatures(BasicBlock, (3, 4, 6), change_stride=change_stride)
+def resnet34(change_stride: bool = False, dtype=jnp.float32) -> ResNetFeatures:
+    return ResNetFeatures(BasicBlock, (3, 4, 6), change_stride=change_stride,
+                          dtype=dtype)
 
 
-def resnet50(change_stride: bool = False) -> ResNetFeatures:
-    return ResNetFeatures(Bottleneck, (3, 4, 6), change_stride=change_stride)
+def resnet50(change_stride: bool = False, dtype=jnp.float32) -> ResNetFeatures:
+    return ResNetFeatures(Bottleneck, (3, 4, 6), change_stride=change_stride,
+                          dtype=dtype)
 
 
-def resnet101(change_stride: bool = False) -> ResNetFeatures:
-    return ResNetFeatures(Bottleneck, (3, 4, 23), change_stride=change_stride)
+def resnet101(change_stride: bool = False, dtype=jnp.float32) -> ResNetFeatures:
+    return ResNetFeatures(Bottleneck, (3, 4, 23), change_stride=change_stride,
+                          dtype=dtype)
 
 
 BACKBONES = {"ResNet34": resnet34, "ResNet50": resnet50, "ResNet101": resnet101}

@@ -25,9 +25,11 @@ def l2_normalize(feat: jax.Array, axis: int = -1, eps: float = 1e-6) -> jax.Arra
 
     Matches the reference normalisation
     (/root/reference/networks/modules.py:6): x / sqrt(sum(x^2) + eps).
+    The square-sum accumulates in float32 even for bf16 inputs; the
+    output keeps the input dtype.
     """
-    sq = jnp.sum(jnp.square(feat), axis=axis, keepdims=True)
-    return feat * jax.lax.rsqrt(sq + eps)
+    sq = jnp.sum(jnp.square(feat.astype(jnp.float32)), axis=axis, keepdims=True)
+    return feat * jax.lax.rsqrt(sq + eps).astype(feat.dtype)
 
 
 def feat_correlation(feat1: jax.Array, feat2: jax.Array) -> jax.Array:

@@ -71,9 +71,10 @@ def test_predict_fine_eval(model_and_vars):
     fine, mid, coarse = model.apply(
         variables, im1, im2, ksize=2, method=Patch2Pix.predict_fine,
     )
-    # grid 4x6 pooled 2x3 -> N = 6 + 6 = 12
-    assert fine.coords.shape == (1, 12, 4)
-    assert fine.valid.shape == (1, 12)
+    # grid 4x6 pooled 2x3 -> nb = 6; with mutual=True the fine stage
+    # keeps only the direction-1 half (direction-2 rows are never valid)
+    assert fine.coords.shape == (1, 6, 4)
+    assert fine.valid.shape == (1, 6)
     assert bool(fine.valid.any())  # some mutual matches exist
     assert np.isfinite(np.asarray(fine.coords)).all()
 
