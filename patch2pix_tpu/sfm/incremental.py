@@ -1,0 +1,332 @@
+"""Incremental SfM driver: host orchestration over device kernels.
+
+New capability (BASELINE.json: "from-scratch incremental SfM:
+two-view geometry from refined matches, triangulation, pose-graph,
+and distributed bundle adjustment"). The host owns only the graph
+bookkeeping; every numeric kernel (essential RANSAC, PnP RANSAC,
+triangulation, Schur BA) is a fixed-shape jitted device program from
+:mod:`patch2pix_tpu.sfm`.
+
+Pipeline: pairwise matches -> tracks (quantized union-find) ->
+best-pair initialization -> loop {PnP-register best next image,
+triangulate new tracks, bundle adjust} -> COLMAP-format export
+(:func:`export_colmap`) so reconstructions are directly comparable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from patch2pix_tpu.sfm.ba import build_problem, run_ba
+from patch2pix_tpu.sfm.pnp import ransac_pnp
+from patch2pix_tpu.sfm.tracks import build_tracks
+from patch2pix_tpu.sfm.twoview import (
+    normalize_points,
+    ransac_essential,
+    triangulate,
+)
+
+
+@dataclass
+class Reconstruction:
+    """Sparse reconstruction state."""
+
+    K: Dict[int, np.ndarray]  # per-image intrinsics
+    Rs: Dict[int, np.ndarray] = field(default_factory=dict)
+    ts: Dict[int, np.ndarray] = field(default_factory=dict)
+    points: Dict[int, np.ndarray] = field(default_factory=dict)  # track -> xyz
+    track_obs: List[Dict[int, np.ndarray]] = field(default_factory=list)
+
+    @property
+    def registered(self) -> List[int]:
+        return sorted(self.Rs.keys())
+
+    def centers(self) -> np.ndarray:
+        return np.stack(
+            [-self.Rs[i].T @ self.ts[i] for i in self.registered]
+        )
+
+
+class IncrementalSfM:
+    """Drives a reconstruction from pairwise matches.
+
+    Args:
+      pair_matches: {(i, j): (N, 4) pixel matches}, i < j.
+      intrinsics: {image_id: (3, 3) K}.
+      px_thres: RANSAC/observation gating threshold in pixels.
+      seed: PRNG seed for the device RANSACs.
+    """
+
+    def __init__(
+        self,
+        pair_matches: Dict[Tuple[int, int], np.ndarray],
+        intrinsics: Dict[int, np.ndarray],
+        px_thres: float = 2.0,
+        min_track_len: int = 2,
+        cell: float = 4.0,
+        seed: int = 0,
+        log: Callable[[str], None] = print,
+    ):
+        self.matches = pair_matches
+        self.K = {i: np.asarray(k, np.float64) for i, k in intrinsics.items()}
+        self.px_thres = px_thres
+        self.key = jax.random.PRNGKey(seed)
+        self.log = log
+        self.tracks = build_tracks(pair_matches, cell, min_track_len)
+        self.rec = Reconstruction(K=self.K, track_obs=self.tracks)
+        self.log(f"tracks: {len(self.tracks)} from {len(pair_matches)} pairs")
+
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    # ------------------------------------------------- initialization
+
+    def _norm_thres(self, i: int, j: int) -> float:
+        f = (self.K[i][0, 0] + self.K[i][1, 1] + self.K[j][0, 0] + self.K[j][1, 1]) / 4
+        return float((self.px_thres / f) ** 2)
+
+    def init_pair(self) -> Tuple[int, int]:
+        """Two-view RANSAC on every pair; pick max inliers with
+        non-degenerate translation."""
+        best, best_score = None, -1
+        for (i, j), m in self.matches.items():
+            if len(m) < 16:
+                continue
+            p1 = normalize_points(jnp.asarray(m[:, 0:2], jnp.float32),
+                                  jnp.asarray(self.K[i], jnp.float32))
+            p2 = normalize_points(jnp.asarray(m[:, 2:4], jnp.float32),
+                                  jnp.asarray(self.K[j], jnp.float32))
+            res = ransac_essential(
+                self._next_key(), p1, p2, 256, self._norm_thres(i, j)
+            )
+            score = int(res.num_inliers)
+            if score > best_score:
+                best, best_score, best_res = (i, j), score, res
+        if best is None:
+            raise ValueError("no usable initial pair")
+        i, j = best
+        self.rec.Rs[i] = np.eye(3)
+        self.rec.ts[i] = np.zeros(3)
+        self.rec.Rs[j] = np.asarray(best_res.R, np.float64)
+        self.rec.ts[j] = np.asarray(best_res.t, np.float64)
+        self.log(f"init pair ({i},{j}) inliers={best_score}")
+        self._triangulate_tracks()
+        return best
+
+    # ------------------------------------------------- track geometry
+
+    def _triangulate_tracks(self):
+        """(Re)triangulate all tracks with >=2 registered observations,
+        batched over a single device call per image pair group."""
+        reg = set(self.rec.registered)
+        jobs = []  # (track_id, im_a, im_b, uv_a, uv_b)
+        for tid, tr in enumerate(self.tracks):
+            if tid in self.rec.points:
+                continue
+            ims = [im for im in tr if im in reg]
+            if len(ims) < 2:
+                continue
+            a, b = ims[0], ims[-1]
+            jobs.append((tid, a, b, tr[a], tr[b]))
+        if not jobs:
+            return
+        # group by (a, b) for batched triangulation
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for job in jobs:
+            groups[(job[1], job[2])].append(job)
+        n_new = 0
+        for (a, b), js in groups.items():
+            p1 = normalize_points(
+                jnp.asarray([j[3] for j in js], jnp.float32),
+                jnp.asarray(self.K[a], jnp.float32),
+            )
+            p2 = normalize_points(
+                jnp.asarray([j[4] for j in js], jnp.float32),
+                jnp.asarray(self.K[b], jnp.float32),
+            )
+            X = triangulate(
+                jnp.asarray(self.rec.Rs[a], jnp.float32),
+                jnp.asarray(self.rec.ts[a], jnp.float32),
+                jnp.asarray(self.rec.Rs[b], jnp.float32),
+                jnp.asarray(self.rec.ts[b], jnp.float32),
+                p1, p2,
+            )
+            X = np.asarray(X, np.float64)
+            # chirality + reprojection gating
+            for (tid, *_), x in zip(js, X):
+                ok = True
+                for im in self.tracks[tid]:
+                    if im not in reg:
+                        continue
+                    pc = self.rec.Rs[im] @ x + self.rec.ts[im]
+                    if pc[2] <= 1e-6:
+                        ok = False
+                        break
+                    proj = self.K[im] @ (pc / pc[2])
+                    if np.linalg.norm(proj[:2] - self.tracks[tid][im]) > 3 * self.px_thres:
+                        ok = False
+                        break
+                if ok:
+                    self.rec.points[tid] = x
+                    n_new += 1
+        self.log(f"triangulated {n_new} new points ({len(self.rec.points)} total)")
+
+    # ------------------------------------------------- registration
+
+    def _candidates(self) -> List[Tuple[int, int]]:
+        """Unregistered images ranked by visible 3D points."""
+        reg = set(self.rec.registered)
+        count: Dict[int, int] = {}
+        for tid in self.rec.points:
+            for im in self.tracks[tid]:
+                if im not in reg:
+                    count[im] = count.get(im, 0) + 1
+        return sorted(count.items(), key=lambda kv: -kv[1])
+
+    def register_next(self) -> Optional[int]:
+        cands = self._candidates()
+        for im, n_vis in cands:
+            if n_vis < 6:
+                continue
+            tids = [
+                tid for tid in self.rec.points if im in self.tracks[tid]
+            ]
+            X = np.stack([self.rec.points[t] for t in tids])
+            uv = np.stack([self.tracks[t][im] for t in tids])
+            p = normalize_points(
+                jnp.asarray(uv, jnp.float32), jnp.asarray(self.K[im], jnp.float32)
+            )
+            f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
+            res = ransac_pnp(
+                self._next_key(), jnp.asarray(X, jnp.float32), p, 256,
+                float((self.px_thres / f) ** 2),
+            )
+            if int(res.num_inliers) < 6:
+                continue
+            self.rec.Rs[im] = np.asarray(res.R, np.float64)
+            self.rec.ts[im] = np.asarray(res.t, np.float64)
+            self.log(
+                f"registered im {im}: {int(res.num_inliers)}/{len(tids)} PnP inliers"
+            )
+            return im
+        return None
+
+    # ------------------------------------------------- bundle adjust
+
+    def bundle_adjust(self, max_iters: int = 15, huber_px: float = 3.0):
+        reg = self.rec.registered
+        im2c = {im: c for c, im in enumerate(reg)}
+        tids = sorted(self.rec.points.keys())
+        t2p = {t: p for p, t in enumerate(tids)}
+        cam_idx, pt_idx, uv = [], [], []
+        for t in tids:
+            for im, xy in self.tracks[t].items():
+                if im not in im2c:
+                    continue
+                cam_idx.append(im2c[im])
+                pt_idx.append(t2p[t])
+                K = self.K[im]
+                uv.append(normalize_points(
+                    jnp.asarray(xy[None], jnp.float32),
+                    jnp.asarray(K, jnp.float32))[0])
+        f_mean = float(np.mean([self.K[im][0, 0] for im in reg]))
+        prob = build_problem(
+            np.stack([self.rec.Rs[im] for im in reg]),
+            np.stack([self.rec.ts[im] for im in reg]),
+            np.stack([self.rec.points[t] for t in tids]),
+            np.asarray(cam_idx),
+            np.asarray(pt_idx),
+            np.asarray(uv, np.float32),
+        )
+        solved, c = run_ba(
+            prob, max_iters=max_iters, huber_delta=huber_px / f_mean
+        )
+        for im, ci in im2c.items():
+            self.rec.Rs[im] = np.asarray(solved.Rs[ci], np.float64)
+            self.rec.ts[im] = np.asarray(solved.ts[ci], np.float64)
+        for t, pi in t2p.items():
+            self.rec.points[t] = np.asarray(solved.X[pi], np.float64)
+        self.log(f"BA over {len(reg)} cams / {len(tids)} pts: cost {c:.3e}")
+
+    # ------------------------------------------------- driver
+
+    def run(self, ba_every: int = 3, global_ba: bool = True) -> Reconstruction:
+        self.init_pair()
+        self.bundle_adjust()
+        added = 0
+        while True:
+            im = self.register_next()
+            if im is None:
+                break
+            self._triangulate_tracks()
+            added += 1
+            if added % ba_every == 0:
+                self.bundle_adjust()
+        if global_ba:
+            self.bundle_adjust(max_iters=30)
+        self.log(
+            f"done: {len(self.rec.registered)} cams, {len(self.rec.points)} points"
+        )
+        return self.rec
+
+
+def export_colmap(
+    rec: Reconstruction,
+    out_dir: str,
+    image_names: Optional[Dict[int, str]] = None,
+    ext: str = ".bin",
+):
+    """Write the reconstruction as a COLMAP sparse model, directly
+    comparable with reference ground-truth models."""
+    from patch2pix_tpu.data.colmap_model import (
+        Camera,
+        ImagePose,
+        Point3D,
+        rotmat2qvec,
+        write_model,
+    )
+
+    cams, ims, pts = {}, {}, {}
+    track_of_im: Dict[int, List[Tuple[int, np.ndarray]]] = {
+        im: [] for im in rec.registered
+    }
+    for tid, x in rec.points.items():
+        for im, xy in rec.track_obs[tid].items():
+            if im in track_of_im:
+                track_of_im[im].append((tid, xy))
+
+    tid2pid = {t: i + 1 for i, t in enumerate(sorted(rec.points))}
+    for ci, im in enumerate(rec.registered, start=1):
+        K = rec.K[im]
+        cams[ci] = Camera(
+            id=ci, model="PINHOLE", width=int(2 * K[0, 2]),
+            height=int(2 * K[1, 2]),
+            params=np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]),
+        )
+        obs = track_of_im[im]
+        xys = np.stack([xy for _, xy in obs]) if obs else np.zeros((0, 2))
+        pids = np.asarray([tid2pid[t] for t, _ in obs], np.int64) if obs else np.zeros(0, np.int64)
+        ims[ci] = ImagePose(
+            id=ci, qvec=rotmat2qvec(rec.Rs[im]), tvec=rec.ts[im],
+            camera_id=ci,
+            name=image_names.get(im, f"im_{im}.jpg") if image_names else f"im_{im}.jpg",
+            xys=xys, point3D_ids=pids,
+        )
+    im2ci = {im: ci for ci, im in enumerate(rec.registered, start=1)}
+    for t, pid in tid2pid.items():
+        obs_ims = [im for im in rec.track_obs[t] if im in im2ci]
+        pts[pid] = Point3D(
+            id=pid, xyz=rec.points[t], rgb=np.array([128, 128, 128], np.uint8),
+            error=0.0,
+            image_ids=np.asarray([im2ci[im] for im in obs_ims], np.int32),
+            point2D_idxs=np.zeros(len(obs_ims), np.int32),
+        )
+    write_model(cams, ims, pts, out_dir, ext=ext)
