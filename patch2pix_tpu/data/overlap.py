@@ -139,3 +139,67 @@ def model_multi_ov_pairs(
     if cache:
         np.save(sav, out)  # noqa: allow dict save (reference format)
     return out
+
+
+def load_colmap_matches(
+    db_path: str, pair_names: Sequence[Tuple[str, str]]
+) -> Dict[Tuple[str, str], np.ndarray]:
+    """Pixel-coordinate matches for named image pairs from a COLMAP db.
+
+    Parity with /root/reference/utils/colmap/data_loading.py:109-134:
+    keypoint indices are resolved to (x1, y1, x2, y2) rows; pairs with
+    no stored matches map to None.
+    """
+    from patch2pix_tpu.data.colmap_db import ColmapDatabase
+
+    db = ColmapDatabase(db_path)
+    try:
+        keypoints = db.load_keypoints(key_len=6)
+        images = db.load_images(name_based=True)
+        pair_ids = [
+            (images[a][0], images[b][0]) for a, b in pair_names
+        ]
+        stored = db.load_pair_matches(pair_ids)
+        out = {}
+        for name, pid in zip(pair_names, pair_ids):
+            m = stored.get(tuple(pid))
+            if m is None:
+                out[tuple(name)] = None
+                continue
+            k1 = keypoints[pid[0]][m[:, 0], 0:2]
+            k2 = keypoints[pid[1]][m[:, 1], 0:2]
+            out[tuple(name)] = np.concatenate([k1, k2], axis=1)
+        return out
+    finally:
+        db.close()
+
+
+def export_intrinsics_txt(model_dir: str, sav_path: str) -> None:
+    """Write per-image camera lines: name model w h params...
+    (parity with /root/reference/utils/colmap/data_loading.py:136-159)."""
+    cameras = read_cameras_binary(os.path.join(model_dir, "cameras.bin"))
+    images = read_images_binary(os.path.join(model_dir, "images.bin"))
+    with open(sav_path, "w") as f:
+        for im in images.values():
+            cam = cameras.get(im.camera_id)
+            if cam is None:
+                continue
+            ps = " ".join(str(float(p)) for p in cam.params)
+            f.write(f"{im.name} {cam.model} {cam.width} {cam.height} {ps}\n")
+
+
+def parse_camera_matrices(intrinsic_txt: str) -> Dict[str, np.ndarray]:
+    """name -> 3x3 K from an intrinsics txt written by
+    :func:`export_intrinsics_txt`."""
+    from patch2pix_tpu.data.colmap_model import Camera
+
+    out = {}
+    with open(intrinsic_txt) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) < 5:
+                continue
+            name, model, w, h = parts[0], parts[1], int(parts[2]), int(parts[3])
+            params = np.asarray(parts[4:], np.float64)
+            out[name] = Camera(0, model, w, h, params).K
+    return out

@@ -21,6 +21,15 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+K_PALLAS = 3  # kernel size the Pallas fast path supports
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except RuntimeError:
+        return False
+
 
 def conv4d(
     x: jax.Array,
@@ -43,29 +52,33 @@ def conv4d(
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
 
-    # Zero-pad the (h1, w1) dims, then build the k*k shifted views and fold
-    # them into the channel axis. (h2, w2) taps stay as the true spatial
-    # dims of a single 2D convolution.
+    # Dispatch the expensive configurations to the blocked Pallas
+    # kernel on TPU backends: a lax.conv with tiny Cout pays the MXU's
+    # 128-lane output padding (~100x wasted FLOPs for the NCN's 16->1
+    # layer); the Pallas kernel's shift-panel matmuls scale with
+    # w2*Cout instead.
+    if k == K_PALLAS and cout <= 4 and _tpu_backend():
+        from patch2pix_tpu.ops.conv4d_pallas import conv4d_pallas
+
+        return conv4d_pallas(x, w, b)
+
+    # XLA path: accumulate one 2D conv over (h2, w2) per (di, dj)
+    # tap — never materialises the k^4-fold shifted volume
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0), (0, 0)))
-    shifts = []
+    out = None
     for di in range(k):
         for dj in range(k):
-            shifts.append(xp[:, di : di + h1, dj : dj + w1])
-    # (B, h1, w1, h2, w2, k*k*Cin) with (di, dj) major over Cin
-    xs = jnp.concatenate(shifts, axis=-1)
-    xs = xs.reshape(bs * h1 * w1, h2, w2, k * k * cin)
-
-    # Weights: (di, dj, dk, dl, Cin, Cout) -> (dk, dl, (di, dj, Cin), Cout)
-    wr = w.transpose(2, 3, 0, 1, 4, 5).reshape(k, k, k * k * cin, cout)
-
-    out = jax.lax.conv_general_dilated(
-        xs,
-        wr,
-        window_strides=(1, 1),
-        padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+            xs = xp[:, di : di + h1, dj : dj + w1]
+            xs = xs.reshape(bs * h1 * w1, h2, w2, cin)
+            y = jax.lax.conv_general_dilated(
+                xs,
+                w[di, dj],
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            out = y if out is None else out + y
     out = out.reshape(bs, h1, w1, h2, w2, cout)
     if b is not None:
         out = out + b
@@ -80,7 +93,14 @@ def conv4d_transpose_symmetric(
     Used by symmetric neighbourhood consensus: the (h2, w2, h1, w1)
     re-ordering of the volume is convolved and re-ordered back
     (/root/reference/networks/ncn/model.py:145-155 semantics).
+
+    Implemented WITHOUT touching the data: by the axis-pair symmetry
+    of the 4D convolution,
+
+        T(conv4d(T(x), w)) == conv4d(x, w'),
+        w'[a, b, c, d] = w[c, d, a, b],
+
+    so transposing the (huge, layout-hostile) volume twice reduces to
+    permuting the (tiny) filter's spatial axes once.
     """
-    xt = x.transpose(0, 3, 4, 1, 2, 5)
-    yt = conv4d(xt, w, b)
-    return yt.transpose(0, 3, 4, 1, 2, 5)
+    return conv4d(x, w.transpose(2, 3, 0, 1, 4, 5), b)

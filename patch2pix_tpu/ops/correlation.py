@@ -61,14 +61,17 @@ def mutual_matching(corr: jax.Array, eps: float = 1e-5) -> jax.Array:
     reduces over the (h1, w1) axes and ``max_B`` over (h2, w2) — the
     formula of the reference ``MutualMatching``
     (/root/reference/networks/ncn/model.py:157-176).
+
+    Reductions run on the flat ``(B, na, nb)`` matrix view — plain
+    row/column maxes that XLA lowers efficiently, instead of
+    multi-axis reductions over the 5D layout.
     """
-    # max over source (h1, w1) for each target cell
-    max_a = jnp.max(corr, axis=(1, 2), keepdims=True)  # (B,1,1,h2,w2)
-    # max over target (h2, w2) for each source cell
-    max_b = jnp.max(corr, axis=(3, 4), keepdims=True)  # (B,h1,w1,1,1)
-    ratio_a = corr / (max_a + eps)
-    ratio_b = corr / (max_b + eps)
-    return corr * (ratio_a * ratio_b)
+    b, h1, w1, h2, w2 = corr.shape
+    flat = corr.reshape(b, h1 * w1, h2 * w2)
+    max_a = jnp.max(flat, axis=1, keepdims=True)  # (B, 1, nb)
+    max_b = jnp.max(flat, axis=2, keepdims=True)  # (B, na, 1)
+    out = flat * (flat / (max_a + eps)) * (flat / (max_b + eps))
+    return out.reshape(corr.shape)
 
 
 def maxpool4d(corr: jax.Array, ksize: int = 2):
@@ -91,16 +94,38 @@ def maxpool4d(corr: jax.Array, ksize: int = 2):
     if ksize == 1:
         z = jnp.zeros(corr.shape, jnp.int32)
         return corr, (z, z, z, z)
-    b, h1, w1, h2, w2 = corr.shape
     k = ksize
-    x = corr.reshape(b, h1 // k, k, w1 // k, k, h2 // k, k, w2 // k, k)
-    # bring the four window axes together, in (i, j, k, l) order
-    x = x.transpose(0, 1, 3, 5, 7, 2, 4, 6, 8)
-    x = x.reshape(b, h1 // k, w1 // k, h2 // k, w2 // k, k * k * k * k)
-    pooled = jnp.max(x, axis=-1)
-    idx = jnp.argmax(x, axis=-1).astype(jnp.int32)
-    dl = idx % k
-    dk = (idx // k) % k
-    dj = (idx // (k * k)) % k
-    di = idx // (k * k * k)
-    return pooled, (di, dj, dk, dl)
+
+    def pool_axis(x, carried, axis):
+        """Strided-slice max over one spatial axis; subsample the
+        already-decoded offset arrays alongside. Avoids the 8D
+        window transpose entirely (pure elementwise max/select over
+        k strided views — layout-friendly on TPU)."""
+        views = [
+            jax.lax.slice_in_dim(x, i, None, stride=k, axis=axis)
+            for i in range(k)
+        ]
+        best = views[0]
+        arg = jnp.zeros(views[0].shape, jnp.int32)
+        for i in range(1, k):
+            gt = views[i] > best  # strict: first max wins ties,
+            best = jnp.where(gt, views[i], best)  # like argmax
+            arg = jnp.where(gt, i, arg)
+        new_carried = []
+        for d in carried:
+            dv = [
+                jax.lax.slice_in_dim(d, i, None, stride=k, axis=axis)
+                for i in range(k)
+            ]
+            cur = dv[0]
+            for i in range(1, k):
+                cur = jnp.where(arg == i, dv[i], cur)
+            new_carried.append(cur)
+        return best, arg, new_carried
+
+    # pool minor-to-major: w2, h2, w1, h1, decoding dl, dk, dj, di
+    x, dl, _ = pool_axis(corr, [], 4)
+    x, dk, (dl,) = pool_axis(x, (dl,), 3)
+    x, dj, (dl, dk) = pool_axis(x, (dl, dk), 2)
+    x, di, (dl, dk, dj) = pool_axis(x, (dl, dk, dj), 1)
+    return x, (di, dj, dk, dl)

@@ -83,13 +83,15 @@ def corr_to_matches(
     # direction 2 (A->B): reduce over target cells
     arg2 = jnp.argmax(flat, axis=2)  # (B, na) -> index into nb
 
+    m1 = jnp.max(flat, axis=1)  # (B, nb)
+    m2 = jnp.max(flat, axis=2)  # (B, na)
     if do_softmax:
-        s1 = jax.nn.softmax(flat, axis=1)
-        s2 = jax.nn.softmax(flat, axis=2)
+        # max of softmax without materializing the softmax volume:
+        # softmax(x)[argmax] = exp(max - logsumexp)
+        score1 = jnp.exp(m1 - jax.scipy.special.logsumexp(flat, axis=1))
+        score2 = jnp.exp(m2 - jax.scipy.special.logsumexp(flat, axis=2))
     else:
-        s1 = s2 = flat
-    score1 = jnp.max(s1, axis=1)  # (B, nb)
-    score2 = jnp.max(s2, axis=2)  # (B, na)
+        score1, score2 = m1, m2
 
     # mutual consistency: round-trip argmax returns to the anchor cell
     ids_b = jnp.arange(nb)[None, :]

@@ -167,3 +167,28 @@ def test_matcher_estimate(tmp_path, tiny_matcher):
         paths[0], paths[1], matches[:16], io_thres=0.0, max_matches=16
     )
     assert refined.shape == (min(16, len(matches)), 4)
+
+
+def test_batched_matcher_sharded(tmp_path, tiny_matcher):
+    """BatchedMatcher over the 8-device mesh == per-pair Matcher."""
+    from patch2pix_tpu.evaluation.batched import BatchedMatcher
+    from patch2pix_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(3)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"b{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (240, 320, 3), np.uint8)).save(p)
+        paths.append(p)
+    pairs = [(paths[0], paths[1]), (paths[1], paths[2]), (paths[0], paths[2])]
+
+    bm = BatchedMatcher(
+        tiny_matcher.model, tiny_matcher.variables,
+        mesh=make_mesh(8), ksize=2, io_thres=0.25, imsize=128,
+    )
+    out = bm.match_pairs(pairs)
+    assert len(out) == 3
+    for (m, s, c), (pa, pb) in zip(out, pairs):
+        ref_m, ref_s, ref_c = tiny_matcher.estimate_matches(pa, pb)
+        np.testing.assert_allclose(m, ref_m, atol=1e-3)
+        np.testing.assert_allclose(s, ref_s, atol=1e-4)

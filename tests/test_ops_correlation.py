@@ -81,3 +81,17 @@ def test_conv4d_transpose_symmetric(rng):
     xt = x.transpose(0, 3, 4, 1, 2, 5)
     want = golden.conv4d_np(xt, w).transpose(0, 3, 4, 1, 2, 5)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_conv4d_transpose_symmetric_identity():
+    """Weight-permute formulation == transpose-conv-transpose."""
+    import numpy as np
+    from patch2pix_tpu.ops.conv4d import conv4d, conv4d_transpose_symmetric
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 4, 6, 2)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 2, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    want = conv4d(x.transpose(0, 3, 4, 1, 2, 5), w, b).transpose(0, 3, 4, 1, 2, 5)
+    got = conv4d_transpose_symmetric(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
