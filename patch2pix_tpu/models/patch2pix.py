@@ -49,7 +49,10 @@ from patch2pix_tpu.ops.match_extract import (
     score_threshold_mask,
     select_ptmax,
 )
-from patch2pix_tpu.ops.patch_gather import gather_local_patches
+from patch2pix_tpu.ops.patch_gather import (
+    gather_local_patches,
+    gather_local_patches_grid,
+)
 
 
 def shift_to_anchors(coords: jax.Array, pshift: int, panc: int) -> jax.Array:
@@ -188,10 +191,14 @@ class Patch2Pix(nn.Module):
         coords: jax.Array,
         stage: str,
         train: bool = False,
+        grid_aligned: bool = False,
     ) -> Tuple[jax.Array, jax.Array]:
         """One regression stage over every proposal.
 
         coords ``(B, N, 4)`` -> (refined ``(B, N, 4)``, probs ``(B, N)``).
+        ``grid_aligned=True`` asserts every coord is a coarse-cell
+        centre (``g*psize + psize//2``) and takes the cheap
+        space-to-depth gather path — exactly equal output.
         """
         cfg = self.config
         r = cfg.regressor
@@ -201,14 +208,24 @@ class Patch2Pix(nn.Module):
         h1, w1 = feats1[0].shape[1], feats1[0].shape[2]
         h2, w2 = feats2[0].shape[1], feats2[0].shape[2]
 
-        p1 = gather_local_patches(
-            feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
-            psize, "center",
-        )
-        p2 = gather_local_patches(
-            feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
-            psize, "center",
-        )
+        if grid_aligned:
+            p1 = gather_local_patches_grid(
+                feats1, coords[..., 0:2], cfg.feat_idx,
+                cfg.feats_downsample, psize,
+            )
+            p2 = gather_local_patches_grid(
+                feats2, coords[..., 2:4], cfg.feat_idx,
+                cfg.feats_downsample, psize,
+            )
+        else:
+            p1 = gather_local_patches(
+                feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
+                psize, "center",
+            )
+            p2 = gather_local_patches(
+                feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
+                psize, "center",
+            )
         d = p1.shape[-1]
         out = regressor(
             p1.reshape(b * n, psize, psize, d),
@@ -296,7 +313,14 @@ class Patch2Pix(nn.Module):
             # nb rows — half the proposal work for identical output
             nb = corr.shape[3] * corr.shape[4]
             cm = Matches(cm.coords[:, :nb], cm.scores[:, :nb], cm.valid[:, :nb])
-        mid_matches, mid_probs = self.fine_match(feats1, feats2, cm.coords, "mid")
+        # at eval the coarse coords are exactly cell centres; when the
+        # stride matches the patch size every mid patch is tile-aligned
+        # and the cheap space-to-depth gather applies (bit-identical)
+        r = self.config.regressor
+        aligned = self.config.upsample == r.psize[0]
+        mid_matches, mid_probs = self.fine_match(
+            feats1, feats2, cm.coords, "mid", grid_aligned=aligned
+        )
         fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
         return (
             Matches(fine_matches, fine_probs, cm.valid),

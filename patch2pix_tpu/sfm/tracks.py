@@ -36,6 +36,7 @@ def build_tracks(
     pair_matches: Dict[Tuple[int, int], np.ndarray],
     cell: float = 4.0,
     min_track_len: int = 2,
+    use_native: bool = True,
 ) -> List[Dict[int, np.ndarray]]:
     """Merge dense pairwise matches into multi-view tracks.
 
@@ -50,7 +51,18 @@ def build_tracks(
       list of tracks; each track is {image_id: (2,) mean pixel coords}.
       A track that hits an image in two different cells is dropped as
       inconsistent (standard conservative policy).
+
+    The C++ union-find (patch2pix_tpu/native/tracks.cpp) handles
+    scene-scale inputs ~100x faster; this Python path is the
+    reference implementation and the fallback without a toolchain.
     """
+    if use_native:
+        from patch2pix_tpu.native import build_tracks_native
+
+        native = build_tracks_native(pair_matches, cell, min_track_len)
+        if native is not None:
+            return native
+
     uf = UnionFind()
     obs: Dict[Tuple[int, int, int], List[np.ndarray]] = defaultdict(list)
 
