@@ -8,7 +8,14 @@ from patch2pix_tpu.evaluation.geometry import (
     pose2fund,
     skew,
 )
+from patch2pix_tpu.evaluation.batched import BatchedMatcher
 from patch2pix_tpu.evaluation.hpatches import HpatchesResults, eval_hpatches
+from patch2pix_tpu.evaluation.localize import (
+    LocalizationResult,
+    MapImage,
+    localize_query,
+    map_images_from_colmap,
+)
 from patch2pix_tpu.evaluation.immatch import ImmatchResults, eval_immatch_val_sets
 from patch2pix_tpu.evaluation.matcher import (
     Matcher,
@@ -36,6 +43,11 @@ __all__ = [
     "pose2ess",
     "pose2fund",
     "skew",
+    "BatchedMatcher",
+    "LocalizationResult",
+    "MapImage",
+    "localize_query",
+    "map_images_from_colmap",
     "HpatchesResults",
     "eval_hpatches",
     "ImmatchResults",
