@@ -62,8 +62,19 @@ def conv4d(
 
         return conv4d_pallas(x, w, b)
 
-    # XLA path: accumulate one 2D conv over (h2, w2) per (di, dj)
-    # tap — never materialises the k^4-fold shifted volume
+    return conv4d_xla_taps(x, w, b)
+
+
+def conv4d_xla_taps(
+    x: jax.Array, w: jax.Array, b: jax.Array | None = None
+) -> jax.Array:
+    """XLA path: accumulate one 2D conv over (h2, w2) per (di, dj)
+    tap — never materialises the k^2-fold shifted volume. Also serves
+    as the adjoint operator for the Pallas kernel's custom VJP."""
+    k = w.shape[0]
+    pad = k // 2
+    bs, h1, w1, h2, w2, cin = x.shape
+    cout = w.shape[-1]
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0), (0, 0)))
     out = None
     for di in range(k):

@@ -81,7 +81,17 @@ def _weight_panels(w: jax.Array, w2: int, w2pp: int) -> jax.Array:
     return panels.at[t_idx, dk_idx, row_idx, col_idx].set(vals)
 
 
-def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int):
+def _pick_jb(w1: int, max_jb: int = 8) -> int:
+    """Largest divisor of w1 up to max_jb: w1-columns processed per
+    matmul so the MXU sees M = jb*h2 rows instead of h2."""
+    for jb in range(min(max_jb, w1), 0, -1):
+        if w1 % jb == 0:
+            return jb
+    return 1
+
+
+def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int,
+                 jb: int):
     def kernel(x_hbm, w_ref, b_ref, o_ref, xs, sem):
         """One (batch, h1-row) program.
 
@@ -90,6 +100,11 @@ def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int):
         b_ref: (1, w2*Cout) bias row (tiled over q) in VMEM.
         o_ref: (1, 1, w1, h2, w2*Cout) output block in VMEM.
         xs:    (3, w1p, h2p, w2pp*Cin) VMEM scratch (the row window).
+
+        Processes ``jb`` w1-columns per loop step: column c uses rows
+        [c+dj] of the window, so a jb-column block uses the contiguous
+        row slice [j+dj, j+dj+jb) — stacked into one (jb*h2, K) matmul
+        per tap (leading-dim reshapes only, no lane movement).
         """
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -99,29 +114,32 @@ def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int):
         cp.start()
         cp.wait()
 
-        def col_body(j, _):
-            acc = jnp.zeros((h2, w2 * cout), jnp.float32)
+        def col_body(jj, _):
+            j = jj * jb
+            acc = jnp.zeros((jb * h2, w2 * cout), jnp.float32)
             for t in range(K * K):
                 di, dj = t // K, t % K
-                blk = xs[di, j + dj]  # (h2p, w2pp*Cin)
+                blk = xs[di, pl.ds(j + dj, jb)]  # (jb, h2p, w2pp*Cin)
                 for dk in range(K):
                     panel = jax.lax.slice(
-                        blk, (dk, 0), (dk + h2, w2pp * cin)
-                    )
+                        blk, (0, dk, 0), (jb, dk + h2, w2pp * cin)
+                    ).reshape(jb * h2, w2pp * cin)
                     acc = acc + jnp.dot(
                         panel, w_ref[t, dk],
                         preferred_element_type=jnp.float32,
                     )
             out = acc + b_ref[0][None, :]
-            o_ref[0, 0, pl.ds(j, 1)] = out[None].astype(o_ref.dtype)
+            o_ref[0, 0, pl.ds(j, jb)] = out.reshape(
+                jb, h2, w2 * cout
+            ).astype(o_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, w1, col_body, 0)
+        jax.lax.fori_loop(0, w1 // jb, col_body, 0)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv4d_pallas(
     x: jax.Array,
     w: jax.Array,
@@ -133,7 +151,23 @@ def conv4d_pallas(
     Args/returns match :func:`patch2pix_tpu.ops.conv4d.conv4d`:
     x ``(B, h1, w1, h2, w2, Cin)``, w ``(3, 3, 3, 3, Cin, Cout)``,
     optional bias ``(Cout,)`` -> ``(B, h1, w1, h2, w2, Cout)`` float32.
+
+    Differentiable via a custom VJP (NCN weak-supervision pretraining
+    needs grads through the consensus filter): the adjoint of a SAME
+    stride-1 conv4d is a conv4d with spatially-flipped, in/out-swapped
+    filters (runs on the XLA tap path), and the weight gradient is a
+    per-tap tensor contraction.
     """
+    return _conv4d_pallas_impl(x, w, b, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _conv4d_pallas_impl(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
     assert w.shape[:4] == (K, K, K, K), f"pallas conv4d is k=3 only, got {w.shape}"
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
@@ -152,8 +186,9 @@ def conv4d_pallas(
     bias = jnp.zeros((cout,), jnp.float32) if b is None else b.astype(jnp.float32)
     bias_row = jnp.tile(bias, (w2,)).reshape(1, w2 * cout)
 
+    jb = _pick_jb(w1)
     out = pl.pallas_call(
-        _make_kernel(h2, w2, cin, cout, h2p, w2pp),
+        _make_kernel(h2, w2, cin, cout, h2p, w2pp, jb),
         grid=(bs, h1),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded volume in HBM
@@ -175,3 +210,47 @@ def conv4d_pallas(
         interpret=interpret,
     )(xp, panels, bias_row)
     return out.reshape(bs, h1, w1, h2, w2, cout)
+
+
+def _conv4d_pallas_fwd(x, w, b, interpret):
+    return _conv4d_pallas_impl(x, w, b, interpret), (x, w, b is not None)
+
+
+def _conv4d_pallas_bwd(interpret, res, g):
+    from patch2pix_tpu.ops.conv4d import conv4d_xla_taps
+
+    x, w, has_bias = res
+    g = g.astype(x.dtype)
+    # dx: adjoint conv — flip all four spatial axes, swap Cin/Cout
+    w_rev = jnp.flip(w, axis=(0, 1, 2, 3)).transpose(0, 1, 2, 3, 5, 4)
+    dx = conv4d_xla_taps(g, w_rev).astype(x.dtype)
+    # dw[a,b,c,d,ci,co] = sum over cells of x[shifted] * g
+    pad = K // 2
+    xp = jnp.pad(
+        x, ((0, 0), (pad, pad), (pad, pad), (pad, pad), (pad, pad), (0, 0))
+    )
+    bs, h1, w1, h2, w2, cout = g.shape
+    taps = []
+    for di in range(K):
+        for dj in range(K):
+            for dk in range(K):
+                for dl in range(K):
+                    xt = xp[
+                        :, di : di + h1, dj : dj + w1,
+                        dk : dk + h2, dl : dl + w2, :,
+                    ]
+                    taps.append(
+                        jnp.einsum(
+                            "bijklc,bijklo->co", xt, g,
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+    dw = jnp.stack(taps).reshape(K, K, K, K, *taps[0].shape).astype(w.dtype)
+    db = (
+        jnp.sum(g, axis=(0, 1, 2, 3, 4)).astype(jnp.float32)
+        if has_bias else None
+    )
+    return dx, dw, db
+
+
+conv4d_pallas.defvjp(_conv4d_pallas_fwd, _conv4d_pallas_bwd)
