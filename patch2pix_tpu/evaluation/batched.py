@@ -54,7 +54,6 @@ class BatchedMatcher:
         repl = NamedSharding(self.mesh, P())
         shard = NamedSharding(self.mesh, P("data"))
 
-        @jax.jit
         def predict(variables, im1, im2):
             fine, mid, coarse = self.model.apply(
                 variables, im1, im2, ksize=self.ksize,

@@ -258,11 +258,19 @@ class Patch2Pix(nn.Module):
         key = self.make_rng("proposal")
         sel = select_ptmax(key, cm.coords, cm.scores, cm.valid, ptmax)
         anchors = shift_to_anchors(sel.coords, r.pshift, r.panc)
-        mid_matches, mid_probs = self.fine_match(
-            feats1, feats2, anchors, "mid", train=train
+        # remat both regression stages: the (B, ptmax*panc, 16, 16, D)
+        # patch tensors and regressor activations dominate training
+        # memory (the reference needed a 48GB GPU for batch 4,
+        # README.md:82-84); recomputing them in the backward trades
+        # ~30% stage FLOPs for multi-GB savings
+        fine_match_ckpt = nn.remat(
+            Patch2Pix.fine_match, static_argnums=(4, 5, 6)
         )
-        fine_matches, fine_probs = self.fine_match(
-            feats1, feats2, mid_matches, "fine", train=train
+        mid_matches, mid_probs = fine_match_ckpt(
+            self, feats1, feats2, anchors, "mid", train, False
+        )
+        fine_matches, fine_probs = fine_match_ckpt(
+            self, feats1, feats2, mid_matches, "fine", train, False
         )
         return {
             "coarse": anchors,

@@ -42,8 +42,11 @@ class BAProblem(NamedTuple):
     X: (P, 3) points. cam_idx/pt_idx: (M,) observation incidence.
     uv: (M, 2) normalized observations. obs_w: (M,) observation
     weights (0 masks padding). pair_a/pair_b: (Q,) observation-index
-    pairs with equal pt_idx (host-precomputed) for Schur assembly.
-    fixed_cams: (C,) bool — cameras excluded from updates (gauge).
+    pairs with equal pt_idx (host-precomputed) for Schur assembly,
+    SORTED by their (cam_a, cam_b) block so per-block contributions
+    segment-sum instead of scatter-adding Q random indices; pair_seg
+    maps each pair to its block, seg_ca/seg_cb are the unique block
+    coordinates. fixed_cams: (C,) bool — gauge.
     """
 
     Rs: jax.Array
@@ -55,6 +58,9 @@ class BAProblem(NamedTuple):
     obs_w: jax.Array
     pair_a: jax.Array
     pair_b: jax.Array
+    pair_seg: jax.Array
+    seg_ca: jax.Array
+    seg_cb: jax.Array
     fixed_cams: jax.Array
 
 
@@ -87,6 +93,9 @@ def build_problem(
         pair_b.append(bb.ravel())
     pair_a = np.concatenate(pair_a) if pair_a else np.zeros(0, np.int64)
     pair_b = np.concatenate(pair_b) if pair_b else np.zeros(0, np.int64)
+    pair_a, pair_b, pair_seg, seg_ca, seg_cb = _sort_pairs_by_block(
+        pair_a, pair_b, cam_idx, Rs.shape[0]
+    )
 
     C = Rs.shape[0]
     if fixed_cams is None:
@@ -104,7 +113,27 @@ def build_problem(
         obs_w=jnp.ones(uv.shape[0], jnp.float32),
         pair_a=jnp.asarray(pair_a, jnp.int32),
         pair_b=jnp.asarray(pair_b, jnp.int32),
+        pair_seg=jnp.asarray(pair_seg, jnp.int32),
+        seg_ca=jnp.asarray(seg_ca, jnp.int32),
+        seg_cb=jnp.asarray(seg_cb, jnp.int32),
         fixed_cams=jnp.asarray(fixed, bool),
+    )
+
+
+def _sort_pairs_by_block(pair_a, pair_b, cam_idx, C):
+    """Order Schur pairs by their (cam_a, cam_b) block and compute the
+    segment mapping (host side, once per problem)."""
+    cam_idx = np.asarray(cam_idx)
+    if len(pair_a) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z, z.copy(), z.copy()
+    key = cam_idx[pair_a] * C + cam_idx[pair_b]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, seg = np.unique(key_s, return_inverse=True)
+    return (
+        pair_a[order], pair_b[order], seg,
+        uniq // C, uniq % C,
     )
 
 
@@ -226,15 +255,19 @@ def ba_step(
     )[:, None, None]
     Vinv = jnp.linalg.inv(V + 1e-9 * jnp.eye(3))
 
-    # Schur assembly: S = U_damped - sum over obs pairs of same point
+    # Schur assembly: S = U_damped - sum over obs pairs of same point.
+    # Pairs arrive pre-sorted by camera block: segment-sum the Q pair
+    # contributions into the few unique (ca, cb) blocks, then scatter
+    # those — orders faster than Q random-index scatter-adds.
     Y = W @ Vinv[p.pt_idx]  # (M, 6, 3)
     pair_blocks = jnp.einsum(
         "qik,qjk->qij", Y[p.pair_a], W[p.pair_b]
     )  # (Q, 6, 6)
-    ca = p.cam_idx[p.pair_a]
-    cb = p.cam_idx[p.pair_b]
+    seg_blocks = jax.ops.segment_sum(
+        pair_blocks, p.pair_seg, num_segments=p.seg_ca.shape[0]
+    )
     S = jnp.zeros((C, C, 6, 6), jnp.float32)
-    S = S.at[ca, cb].add(-pair_blocks)
+    S = S.at[p.seg_ca, p.seg_cb].add(-seg_blocks)
     U_damped = U + lm_lambda * jnp.eye(6)[None] * jnp.maximum(
         jnp.trace(U, axis1=1, axis2=2) / 6.0, 1e-6
     )[:, None, None]

@@ -52,8 +52,11 @@ class ShardedBA(NamedTuple):
     pt_idx: np.ndarray  # (S, Ml) LOCAL point indices
     uv: np.ndarray  # (S, Ml, 2)
     obs_w: np.ndarray  # (S, Ml)
-    pair_a: np.ndarray  # (S, Ql)
+    pair_a: np.ndarray  # (S, Ql) block-sorted
     pair_b: np.ndarray  # (S, Ql)
+    pair_seg: np.ndarray  # (S, Ql) Schur segment per pair
+    seg_ca: np.ndarray  # (S, Qs) unique block row coords
+    seg_cb: np.ndarray  # (S, Qs) unique block col coords
     fixed_cams: np.ndarray  # (C,)
     X_map: np.ndarray  # (S, Pl) global point ids
 
@@ -109,8 +112,20 @@ def shard_problem(
             )
         )
 
-    Ml = max(max(len(o[0]) for o in obs_shards), 1)
-    Ql = max(max(len(q[0]) for q in pair_shards), 1)
+    # +1 guarantees a zero-weight obs slot at Ml-1 on every shard:
+    # padded PAIRS point at it, so their Schur contribution is exactly
+    # zero (W of a zero-weight observation vanishes)
+    Ml = max(max(len(o[0]) for o in obs_shards), 1) + 1
+
+    from patch2pix_tpu.sfm.ba import _sort_pairs_by_block
+
+    sorted_pairs = []
+    for sh in range(n_shards):
+        c, l, u = obs_shards[sh]
+        qa, qb = pair_shards[sh]
+        sorted_pairs.append(_sort_pairs_by_block(qa, qb, c, C_limit(Rs)))
+    Ql = max(max(len(spr[0]) for spr in sorted_pairs), 1)
+    Qs = max(max(len(spr[3]) for spr in sorted_pairs), 1)
 
     Xs = np.zeros((n_shards, Pl, 3), np.float32)
     Xmap = np.full((n_shards, Pl), -1, np.int64)
@@ -118,8 +133,11 @@ def shard_problem(
     pi = np.zeros((n_shards, Ml), np.int64)
     uvs = np.zeros((n_shards, Ml, 2), np.float32)
     w = np.zeros((n_shards, Ml), np.float32)
-    pa = np.zeros((n_shards, Ql), np.int64)
-    pb = np.zeros((n_shards, Ql), np.int64)
+    pa = np.full((n_shards, Ql), Ml - 1, np.int64)
+    pb = np.full((n_shards, Ql), Ml - 1, np.int64)
+    pseg = np.zeros((n_shards, Ql), np.int64)
+    sca = np.zeros((n_shards, Qs), np.int64)
+    scb = np.zeros((n_shards, Qs), np.int64)
     for s in range(n_shards):
         sp = shard_pts[s]
         Xs[s, : len(sp)] = X[sp]
@@ -128,8 +146,10 @@ def shard_problem(
         m = len(c)
         ci[s, :m], pi[s, :m], uvs[s, :m] = c, l, u
         w[s, :m] = 1.0
-        qa, qb = pair_shards[s]
+        qa, qb, seg, ca_u, cb_u = sorted_pairs[s]
         pa[s, : len(qa)], pb[s, : len(qb)] = qa, qb
+        pseg[s, : len(seg)] = seg
+        sca[s, : len(ca_u)], scb[s, : len(cb_u)] = ca_u, cb_u
 
     C = Rs.shape[0]
     if fixed_cams is None:
@@ -139,8 +159,12 @@ def shard_problem(
         fixed = np.asarray(fixed_cams, bool)
     return ShardedBA(
         Rs.astype(np.float32), ts.astype(np.float32), Xs, ci, pi, uvs, w,
-        pa, pb, fixed, Xmap,
+        pa, pb, pseg, sca, scb, fixed, Xmap,
     )
+
+
+def C_limit(Rs) -> int:
+    return Rs.shape[0]
 
 
 def _local_blocks(p: BAProblem, lm_lambda, huber_delta, use_huber, C):
@@ -172,10 +196,11 @@ def _local_blocks(p: BAProblem, lm_lambda, huber_delta, use_huber, C):
 
     Y = W @ Vinv[p.pt_idx]
     pair_blocks = jnp.einsum("qik,qjk->qij", Y[p.pair_a], W[p.pair_b])
-    ca = p.cam_idx[p.pair_a]
-    cb = p.cam_idx[p.pair_b]
+    seg_blocks = jax.ops.segment_sum(
+        pair_blocks, p.pair_seg, num_segments=p.seg_ca.shape[0]
+    )
     S = jnp.zeros((C, C, 6, 6), jnp.float32)
-    S = S.at[ca, cb].add(-pair_blocks)
+    S = S.at[p.seg_ca, p.seg_cb].add(-seg_blocks)
 
     b_red = bc - jax.ops.segment_sum(
         jnp.einsum("mij,mj->mi", Y, bp[p.pt_idx]), p.cam_idx, num_segments=C
@@ -191,11 +216,12 @@ def make_dist_ba_step(mesh: Mesh, C: int, use_huber: bool = True):
         from jax.experimental.shard_map import shard_map
 
     def step(Rs, ts, X, cam_idx, pt_idx, uv, obs_w, pair_a, pair_b,
-             fixed, lam, hd):
+             pair_seg, seg_ca, seg_cb, fixed, lam, hd):
         # inside: leading shard axis stripped -> local arrays
         p = BAProblem(
             Rs=Rs, ts=ts, X=X[0], cam_idx=cam_idx[0], pt_idx=pt_idx[0],
             uv=uv[0], obs_w=obs_w[0], pair_a=pair_a[0], pair_b=pair_b[0],
+            pair_seg=pair_seg[0], seg_ca=seg_ca[0], seg_cb=seg_cb[0],
             fixed_cams=fixed,
         )
         U, S, b_red, W, Vinv, bp = _local_blocks(p, lam, hd, use_huber, C)
@@ -245,7 +271,7 @@ def make_dist_ba_step(mesh: Mesh, C: int, use_huber: bool = True):
         mesh=mesh,
         in_specs=(
             P(), P(), P("ba"), P("ba"), P("ba"), P("ba"), P("ba"),
-            P("ba"), P("ba"), P(), P(), P(),
+            P("ba"), P("ba"), P("ba"), P("ba"), P("ba"), P(), P(), P(),
         ),
         out_specs=(P(), P(), P("ba"), P(), P()),
     )
@@ -279,6 +305,9 @@ def run_dist_ba(
         jnp.asarray(sp.obs_w),
         jnp.asarray(sp.pair_a, jnp.int32),
         jnp.asarray(sp.pair_b, jnp.int32),
+        jnp.asarray(sp.pair_seg, jnp.int32),
+        jnp.asarray(sp.seg_ca, jnp.int32),
+        jnp.asarray(sp.seg_cb, jnp.int32),
         jnp.asarray(sp.fixed_cams),
     )
     lam = init_lambda

@@ -76,6 +76,8 @@ def parse_args(argv=None):
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--wt", type=int, default=480, help="train image width")
     p.add_argument("--ht", type=int, default=320, help="train image height")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32", help="compute dtype (params stay f32)")
     return p.parse_args(argv)
 
 
@@ -143,6 +145,7 @@ def build_configs(args):
         change_stride=args.change_stride,
         feat_idx=tuple(args.feat_idx),
         regressor=reg,
+        dtype=args.dtype,
     ).resolved()
     lr_decay = None
     if args.lr_decay:

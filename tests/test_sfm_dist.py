@@ -54,9 +54,46 @@ def test_dist_ba_first_iteration_exact_parity():
         jnp.asarray(sp.cam_idx, jnp.int32), jnp.asarray(sp.pt_idx, jnp.int32),
         jnp.asarray(sp.uv), jnp.asarray(sp.obs_w),
         jnp.asarray(sp.pair_a, jnp.int32), jnp.asarray(sp.pair_b, jnp.int32),
+        jnp.asarray(sp.pair_seg, jnp.int32), jnp.asarray(sp.seg_ca, jnp.int32),
+        jnp.asarray(sp.seg_cb, jnp.int32),
         jnp.asarray(sp.fixed_cams), jnp.float32(1e-3), jnp.float32(1e9),
     )
     np.testing.assert_allclose(float(oc), float(c_old), rtol=1e-5)
     np.testing.assert_allclose(float(nc), float(c_new), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(nR), np.asarray(new_p.Rs), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nt), np.asarray(new_p.ts), atol=1e-5)
+
+
+def test_dist_ba_unequal_shards_parity():
+    """Shards with very different pair counts: padded pairs must add
+    exactly nothing (regression: padding once pointed at a REAL obs)."""
+    from patch2pix_tpu.sfm.ba import ba_step
+
+    # few points with very different track lengths -> unbalanced shards
+    Rs, ts, X, cam_idx, pt_idx, uv = make_scene(
+        n_cams=6, n_pts=10, noise=1e-3, seed=31
+    )
+    Rp, tp, Xp = perturb_scene(Rs, ts, X, seed=32)
+    prob = build_problem(Rp, tp, Xp, cam_idx, pt_idx, uv)
+    new_p, c_new, c_old = ba_step(
+        prob, jnp.float32(1e-3), jnp.float32(1e9), False
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("ba",))
+    sp = shard_problem(Rp, tp, Xp, cam_idx, pt_idx, uv, n_shards=4)
+    # shards must actually be padded differently for this test to bite
+    from patch2pix_tpu.sfm.dist_ba import make_dist_ba_step
+
+    step = make_dist_ba_step(mesh, C=6, use_huber=False)
+    nR, nt, nX, nc, oc = step(
+        jnp.asarray(sp.Rs), jnp.asarray(sp.ts), jnp.asarray(sp.X),
+        jnp.asarray(sp.cam_idx, jnp.int32), jnp.asarray(sp.pt_idx, jnp.int32),
+        jnp.asarray(sp.uv), jnp.asarray(sp.obs_w),
+        jnp.asarray(sp.pair_a, jnp.int32), jnp.asarray(sp.pair_b, jnp.int32),
+        jnp.asarray(sp.pair_seg, jnp.int32), jnp.asarray(sp.seg_ca, jnp.int32),
+        jnp.asarray(sp.seg_cb, jnp.int32),
+        jnp.asarray(sp.fixed_cams), jnp.float32(1e-3), jnp.float32(1e9),
+    )
+    np.testing.assert_allclose(float(oc), float(c_old), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(nR), np.asarray(new_p.Rs), atol=1e-5)
     np.testing.assert_allclose(np.asarray(nt), np.asarray(new_p.ts), atol=1e-5)
