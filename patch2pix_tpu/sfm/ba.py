@@ -13,16 +13,18 @@ Design (single-chip core; the multi-chip wrapper lives in
   * all Hessian blocks are segment-summed over a flat observation
     array: U_c (6x6 per camera), V_j (3x3 per point), W_i (6x3 per
     observation) — fixed shapes, fully vectorised,
-  * the Schur reduced camera system ``S = U - W V^-1 W^T`` is
-    assembled by scatter-adding one 6x6 outer product per PAIR of
-    observations of the same point (pair index arrays are built once
-    on host), then solved densely — n_cams is small (10^2-10^3) while
-    points/observations are huge, which is exactly why Schur wins,
+  * the Schur cross term ``W V^-1 W^T`` is ONE dense matmul: with
+    ``A_i = W_i L_j`` (L_j = chol(V_j^-1)) scattered into a block
+    matrix ``Bt in R^{3P x 6C}``, the whole pairwise sum collapses to
+    ``S_cross = Bt^T Bt`` — an MXU contraction over the huge 3P axis,
+    no per-pair enumeration (an earlier formulation scattered
+    sum_j track_j^2 6x6 outer products; this is ~100x leaner and needs
+    no host-side pair indexing at all),
   * Huber robust reweighting; Levenberg-Marquardt damping driven by a
     tiny host loop around one jitted step.
 
 Verified against scipy.optimize.least_squares on synthetic scenes
-(tests/test_sfm_ba.py).
+(tests/test_sfm.py).
 """
 
 from __future__ import annotations
@@ -41,12 +43,8 @@ class BAProblem(NamedTuple):
     Rs: (C, 3, 3), ts: (C, 3) — world->cam poses.
     X: (P, 3) points. cam_idx/pt_idx: (M,) observation incidence.
     uv: (M, 2) normalized observations. obs_w: (M,) observation
-    weights (0 masks padding). pair_a/pair_b: (Q,) observation-index
-    pairs with equal pt_idx (host-precomputed) for Schur assembly,
-    SORTED by their (cam_a, cam_b) block so per-block contributions
-    segment-sum instead of scatter-adding Q random indices; pair_seg
-    maps each pair to its block, seg_ca/seg_cb are the unique block
-    coordinates. fixed_cams: (C,) bool — gauge.
+    weights (0 masks padding). fixed_cams: (C,) bool — cameras
+    excluded from updates (gauge).
     """
 
     Rs: jax.Array
@@ -56,11 +54,6 @@ class BAProblem(NamedTuple):
     pt_idx: jax.Array
     uv: jax.Array
     obs_w: jax.Array
-    pair_a: jax.Array
-    pair_b: jax.Array
-    pair_seg: jax.Array
-    seg_ca: jax.Array
-    seg_cb: jax.Array
     fixed_cams: jax.Array
 
 
@@ -73,30 +66,8 @@ def build_problem(
     uv: np.ndarray,
     fixed_cams: Optional[np.ndarray] = None,
 ) -> BAProblem:
-    """Host-side setup: sorts observations by point and precomputes the
-    Schur pair index arrays (sum_j track_len(j)^2 pairs)."""
+    """Host-side setup (sorts observations by point for locality)."""
     order = np.argsort(pt_idx, kind="stable")
-    cam_idx = np.asarray(cam_idx)[order]
-    pt_idx = np.asarray(pt_idx)[order]
-    uv = np.asarray(uv)[order]
-
-    # pairs of observations sharing a point
-    pair_a, pair_b = [], []
-    starts = np.searchsorted(pt_idx, np.arange(X.shape[0]))
-    ends = np.searchsorted(pt_idx, np.arange(X.shape[0]), side="right")
-    for s, e in zip(starts, ends):
-        ids = np.arange(s, e)
-        if len(ids) == 0:
-            continue
-        aa, bb = np.meshgrid(ids, ids, indexing="ij")
-        pair_a.append(aa.ravel())
-        pair_b.append(bb.ravel())
-    pair_a = np.concatenate(pair_a) if pair_a else np.zeros(0, np.int64)
-    pair_b = np.concatenate(pair_b) if pair_b else np.zeros(0, np.int64)
-    pair_a, pair_b, pair_seg, seg_ca, seg_cb = _sort_pairs_by_block(
-        pair_a, pair_b, cam_idx, Rs.shape[0]
-    )
-
     C = Rs.shape[0]
     if fixed_cams is None:
         fixed = np.zeros(C, bool)
@@ -107,33 +78,11 @@ def build_problem(
         Rs=jnp.asarray(Rs, jnp.float32),
         ts=jnp.asarray(ts, jnp.float32),
         X=jnp.asarray(X, jnp.float32),
-        cam_idx=jnp.asarray(cam_idx, jnp.int32),
-        pt_idx=jnp.asarray(pt_idx, jnp.int32),
-        uv=jnp.asarray(uv, jnp.float32),
-        obs_w=jnp.ones(uv.shape[0], jnp.float32),
-        pair_a=jnp.asarray(pair_a, jnp.int32),
-        pair_b=jnp.asarray(pair_b, jnp.int32),
-        pair_seg=jnp.asarray(pair_seg, jnp.int32),
-        seg_ca=jnp.asarray(seg_ca, jnp.int32),
-        seg_cb=jnp.asarray(seg_cb, jnp.int32),
+        cam_idx=jnp.asarray(np.asarray(cam_idx)[order], jnp.int32),
+        pt_idx=jnp.asarray(np.asarray(pt_idx)[order], jnp.int32),
+        uv=jnp.asarray(np.asarray(uv)[order], jnp.float32),
+        obs_w=jnp.ones(len(order), jnp.float32),
         fixed_cams=jnp.asarray(fixed, bool),
-    )
-
-
-def _sort_pairs_by_block(pair_a, pair_b, cam_idx, C):
-    """Order Schur pairs by their (cam_a, cam_b) block and compute the
-    segment mapping (host side, once per problem)."""
-    cam_idx = np.asarray(cam_idx)
-    if len(pair_a) == 0:
-        z = np.zeros(0, np.int64)
-        return z, z, z, z.copy(), z.copy()
-    key = cam_idx[pair_a] * C + cam_idx[pair_b]
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq, seg = np.unique(key_s, return_inverse=True)
-    return (
-        pair_a[order], pair_b[order], seg,
-        uniq // C, uniq % C,
     )
 
 
@@ -164,7 +113,7 @@ def skew_many(v: jax.Array) -> jax.Array:
 
 
 def residuals_and_jacobians(p: BAProblem):
-    """Per-observation robust-weighted residuals + analytic Jacobians.
+    """Per-observation residuals + analytic Jacobians.
 
     Returns (r (M, 2), Jc (M, 2, 6), Jp (M, 2, 3), w (M,)).
     """
@@ -178,7 +127,6 @@ def residuals_and_jacobians(p: BAProblem):
     r = proj - p.uv  # (M, 2)
 
     inv_z = 1.0 / zs
-    # dproj/dy (M, 2, 3)
     zero = jnp.zeros_like(inv_z)
     dpdy = jnp.stack(
         [
@@ -186,11 +134,9 @@ def residuals_and_jacobians(p: BAProblem):
             jnp.stack([zero, inv_z, -y[:, 1] * inv_z**2], -1),
         ],
         -2,
-    )
+    )  # (M, 2, 3)
     # dy/d(dw) = -[y]_x ; dy/d(dt) = I
-    Jc = jnp.concatenate(
-        [-(dpdy @ skew_many(y)), dpdy], axis=-1
-    )  # (M, 2, 6)
+    Jc = jnp.concatenate([-(dpdy @ skew_many(y)), dpdy], axis=-1)  # (M, 2, 6)
     Jp = dpdy @ R  # (M, 2, 3)
     return r, Jc, Jp, p.obs_w
 
@@ -214,6 +160,97 @@ def cost(p: BAProblem, huber_delta: Optional[float] = None) -> jax.Array:
     return jnp.sum(w * rho)
 
 
+def schur_blocks(p: BAProblem, lm_lambda, huber_delta, use_huber, C: int):
+    """Common Hessian/Schur assembly for the local and distributed
+    solvers.
+
+    Returns (S_cross_neg (C,C,6,6) — the cross term, negated, WITHOUT
+    the U diagonal; U (C,6,6); b_red (C,6); W (M,6,3); Vinv (P,3,3);
+    bp (P,3)).
+
+    The cross term uses the dense-B trick: A_i = W_i chol(Vinv_j)
+    scattered into Bt (P, 3, C*6); S_cross = Bt^T Bt over the (P, 3)
+    axes — one big MXU matmul, no pair enumeration.
+    """
+    P_ = p.X.shape[0]
+    r, Jc, Jp, w_obs = residuals_and_jacobians(p)
+    w = w_obs * (huber_weights(r, huber_delta) if use_huber else 1.0)
+    wJc = Jc * w[:, None, None]
+    wJp = Jp * w[:, None, None]
+
+    U = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", wJc, Jc), p.cam_idx, num_segments=C
+    )  # (C, 6, 6)
+    V = jax.ops.segment_sum(
+        jnp.einsum("mki,mkj->mij", wJp, Jp), p.pt_idx, num_segments=P_
+    )  # (P, 3, 3)
+    W = jnp.einsum("mki,mkj->mij", wJc, Jp)  # (M, 6, 3)
+    bc = -jax.ops.segment_sum(
+        jnp.einsum("mki,mk->mi", wJc, r), p.cam_idx, num_segments=C
+    )  # (C, 6)
+    bp = -jax.ops.segment_sum(
+        jnp.einsum("mki,mk->mi", wJp, r), p.pt_idx, num_segments=P_
+    )  # (P, 3)
+
+    V = V + lm_lambda * jnp.eye(3)[None] * jnp.maximum(
+        jnp.trace(V, axis1=1, axis2=2) / 3.0, 1e-6
+    )[:, None, None]
+    Vinv = jnp.linalg.inv(V + 1e-9 * jnp.eye(3))
+
+    # dense-B Schur cross term: Vinv = L L^T, A_i = W_i L
+    L = jnp.linalg.cholesky(Vinv + 1e-12 * jnp.eye(3))  # (P, 3, 3)
+    A = W @ L[p.pt_idx]  # (M, 6, 3)
+    Bt = jnp.zeros((P_, 3, C, 6), jnp.float32)
+    Bt = Bt.at[p.pt_idx, :, p.cam_idx, :].add(A.transpose(0, 2, 1))
+    Bm = Bt.reshape(P_ * 3, C * 6)
+    S_cross = (Bm.T @ Bm).reshape(C, 6, C, 6).transpose(0, 2, 1, 3)
+
+    b_red = bc - jax.ops.segment_sum(
+        jnp.einsum("mij,mj->mi", W @ Vinv[p.pt_idx], bp[p.pt_idx]),
+        p.cam_idx, num_segments=C,
+    )  # (C, 6)
+    return -S_cross, U, b_red, W, Vinv, bp
+
+
+def solve_reduced(S_cross_neg, U, b_red, lm_lambda, fixed_cams):
+    """Damp + gauge-fix + densely solve the reduced camera system."""
+    C = U.shape[0]
+    U_damped = U + lm_lambda * jnp.eye(6)[None] * jnp.maximum(
+        jnp.trace(U, axis1=1, axis2=2) / 6.0, 1e-6
+    )[:, None, None]
+    S = S_cross_neg.at[jnp.arange(C), jnp.arange(C)].add(U_damped)
+
+    free = (~fixed_cams).astype(jnp.float32)
+    mask2 = free[:, None] * free[None, :]
+    S = S * mask2[:, :, None, None]
+    eye_fix = jnp.eye(6)[None] * fixed_cams.astype(jnp.float32)[:, None, None]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(eye_fix)
+    b = b_red * free[:, None]
+
+    Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+    dc = jnp.linalg.solve(Sd, b.reshape(-1)).reshape(C, 6)
+    return dc * free[:, None]
+
+
+def backsub_points(p: BAProblem, W, Vinv, bp, dc):
+    """Point updates given the camera step."""
+    P_ = p.X.shape[0]
+    Wt_dc = jax.ops.segment_sum(
+        jnp.einsum("mij,mi->mj", W, dc[p.cam_idx]), p.pt_idx,
+        num_segments=P_,
+    )
+    return jnp.einsum("pij,pj->pi", Vinv, bp - Wt_dc)
+
+
+def apply_updates(Rs, ts, X, dc, dp):
+    dR = so3_exp(dc[:, :3])
+    return (
+        dR @ Rs,
+        jnp.einsum("cij,cj->ci", dR, ts) + dc[:, 3:],
+        X + dp,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def ba_step(
     p: BAProblem,
@@ -227,81 +264,13 @@ def ba_step(
     or rejects the step and adapts ``lm_lambda`` (host-side logic).
     """
     C = p.Rs.shape[0]
-    P = p.X.shape[0]
-
-    r, Jc, Jp, w_obs = residuals_and_jacobians(p)
-    w = w_obs * (huber_weights(r, huber_delta) if use_huber else 1.0)
-    wJc = Jc * w[:, None, None]
-    wJp = Jp * w[:, None, None]
-
-    # Hessian blocks (Gauss-Newton)
-    U = jax.ops.segment_sum(
-        jnp.einsum("mki,mkj->mij", wJc, Jc), p.cam_idx, num_segments=C
-    )  # (C, 6, 6)
-    V = jax.ops.segment_sum(
-        jnp.einsum("mki,mkj->mij", wJp, Jp), p.pt_idx, num_segments=P
-    )  # (P, 3, 3)
-    W = jnp.einsum("mki,mkj->mij", wJc, Jp)  # (M, 6, 3)
-    bc = -jax.ops.segment_sum(
-        jnp.einsum("mki,mk->mi", wJc, r), p.cam_idx, num_segments=C
-    )  # (C, 6)
-    bp = -jax.ops.segment_sum(
-        jnp.einsum("mki,mk->mi", wJp, r), p.pt_idx, num_segments=P
-    )  # (P, 3)
-
-    # damp V and invert (3x3 closed form via solve)
-    V = V + lm_lambda * jnp.eye(3)[None, :, :] * jnp.maximum(
-        jnp.trace(V, axis1=1, axis2=2) / 3.0, 1e-6
-    )[:, None, None]
-    Vinv = jnp.linalg.inv(V + 1e-9 * jnp.eye(3))
-
-    # Schur assembly: S = U_damped - sum over obs pairs of same point.
-    # Pairs arrive pre-sorted by camera block: segment-sum the Q pair
-    # contributions into the few unique (ca, cb) blocks, then scatter
-    # those — orders faster than Q random-index scatter-adds.
-    Y = W @ Vinv[p.pt_idx]  # (M, 6, 3)
-    pair_blocks = jnp.einsum(
-        "qik,qjk->qij", Y[p.pair_a], W[p.pair_b]
-    )  # (Q, 6, 6)
-    seg_blocks = jax.ops.segment_sum(
-        pair_blocks, p.pair_seg, num_segments=p.seg_ca.shape[0]
+    S_cross_neg, U, b_red, W, Vinv, bp = schur_blocks(
+        p, lm_lambda, huber_delta, use_huber, C
     )
-    S = jnp.zeros((C, C, 6, 6), jnp.float32)
-    S = S.at[p.seg_ca, p.seg_cb].add(-seg_blocks)
-    U_damped = U + lm_lambda * jnp.eye(6)[None] * jnp.maximum(
-        jnp.trace(U, axis1=1, axis2=2) / 6.0, 1e-6
-    )[:, None, None]
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(U_damped)
-
-    b_red = bc - jax.ops.segment_sum(
-        jnp.einsum("mij,mj->mi", Y, bp[p.pt_idx]), p.cam_idx, num_segments=C
-    )  # (C, 6)
-
-    # gauge: project out fixed cameras (identity rows/cols)
-    free = (~p.fixed_cams).astype(jnp.float32)
-    mask2 = free[:, None] * free[None, :]
-    S = S * mask2[:, :, None, None]
-    eye_fix = jnp.eye(6)[None] * p.fixed_cams.astype(jnp.float32)[:, None, None]
-    S = S.at[jnp.arange(C), jnp.arange(C)].add(eye_fix)
-    b_red = b_red * free[:, None]
-
-    Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
-    dc = jnp.linalg.solve(Sd, b_red.reshape(-1)).reshape(C, 6)
-    dc = dc * free[:, None]
-
-    # back-substitute point updates
-    Wt_dc = jax.ops.segment_sum(
-        jnp.einsum("mij,mi->mj", W, dc[p.cam_idx]), p.pt_idx, num_segments=P
-    )  # (P, 3)
-    dp = jnp.einsum("pij,pj->pi", Vinv, bp - Wt_dc)
-
-    # apply local updates
-    dR = so3_exp(dc[:, :3])
-    new_Rs = dR @ p.Rs
-    new_ts = jnp.einsum("cij,cj->ci", dR, p.ts) + dc[:, 3:]
-    new_X = p.X + dp
+    dc = solve_reduced(S_cross_neg, U, b_red, lm_lambda, p.fixed_cams)
+    dp = backsub_points(p, W, Vinv, bp, dc)
+    new_Rs, new_ts, new_X = apply_updates(p.Rs, p.ts, p.X, dc, dp)
     new_p = p._replace(Rs=new_Rs, ts=new_ts, X=new_X)
-
     hd = huber_delta if use_huber else None
     return new_p, cost(new_p, hd), cost(p, hd)
 

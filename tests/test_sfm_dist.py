@@ -53,9 +53,6 @@ def test_dist_ba_first_iteration_exact_parity():
         jnp.asarray(sp.Rs), jnp.asarray(sp.ts), jnp.asarray(sp.X),
         jnp.asarray(sp.cam_idx, jnp.int32), jnp.asarray(sp.pt_idx, jnp.int32),
         jnp.asarray(sp.uv), jnp.asarray(sp.obs_w),
-        jnp.asarray(sp.pair_a, jnp.int32), jnp.asarray(sp.pair_b, jnp.int32),
-        jnp.asarray(sp.pair_seg, jnp.int32), jnp.asarray(sp.seg_ca, jnp.int32),
-        jnp.asarray(sp.seg_cb, jnp.int32),
         jnp.asarray(sp.fixed_cams), jnp.float32(1e-3), jnp.float32(1e9),
     )
     np.testing.assert_allclose(float(oc), float(c_old), rtol=1e-5)
@@ -89,9 +86,6 @@ def test_dist_ba_unequal_shards_parity():
         jnp.asarray(sp.Rs), jnp.asarray(sp.ts), jnp.asarray(sp.X),
         jnp.asarray(sp.cam_idx, jnp.int32), jnp.asarray(sp.pt_idx, jnp.int32),
         jnp.asarray(sp.uv), jnp.asarray(sp.obs_w),
-        jnp.asarray(sp.pair_a, jnp.int32), jnp.asarray(sp.pair_b, jnp.int32),
-        jnp.asarray(sp.pair_seg, jnp.int32), jnp.asarray(sp.seg_ca, jnp.int32),
-        jnp.asarray(sp.seg_cb, jnp.int32),
         jnp.asarray(sp.fixed_cams), jnp.float32(1e-3), jnp.float32(1e9),
     )
     np.testing.assert_allclose(float(oc), float(c_old), rtol=1e-5)
