@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import time
-from typing import Optional
 
 import numpy as np
 
@@ -163,7 +162,6 @@ def build_configs(args):
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
     from jax.sharding import Mesh
 
     from patch2pix_tpu.data.megadepth import MegaDepthPairDataset, batch_iterator
@@ -174,7 +172,7 @@ def main(argv=None):
         make_sharded_train_step,
         make_train_step,
     )
-    from patch2pix_tpu.train.checkpoint import load_ckpt, read_meta, save_ckpt
+    from patch2pix_tpu.train.checkpoint import load_ckpt, save_ckpt
     from patch2pix_tpu.utils.logging import (
         Logger,
         MetricsWriter,
