@@ -71,13 +71,21 @@ def eval_hpatches(
     sequences: Optional[List[str]] = None,
     max_pairs_per_seq: int = 5,
     log: Callable[[str], None] = print,
+    batch_matcher=None,
 ) -> HpatchesResults:
-    """Run the HPatches protocol with any ``matcher(p1, p2)`` callable."""
+    """Run the HPatches protocol.
+
+    ``matcher(p1, p2)`` is called per pair; alternatively pass
+    ``batch_matcher`` with a ``match_pairs(list[(p1, p2)])`` method
+    (e.g. :class:`patch2pix_tpu.evaluation.BatchedMatcher`) to run all
+    pairs mesh-sharded per chip — BASELINE.json config 3.
+    """
     sequences = sequences or sorted(
         s for s in os.listdir(data_root)
         if os.path.isdir(os.path.join(data_root, s))
     )
-    res = HpatchesResults()
+    # collect the evaluation pairs first
+    jobs = []  # (split, ref, tgt, H)
     for seq in sequences:
         seq_dir = os.path.join(data_root, seq)
         split = "i" if seq.startswith("i_") else "v"
@@ -89,19 +97,30 @@ def eval_hpatches(
             hfile = os.path.join(seq_dir, f"H_1_{k}")
             if tgt is None or not os.path.exists(hfile):
                 continue
-            H = np.loadtxt(hfile)
+            jobs.append((split, ref, tgt, np.loadtxt(hfile)))
+
+    res = HpatchesResults()
+    if batch_matcher is not None:
+        outs = batch_matcher.match_pairs([(r, t) for _, r, t, _ in jobs])
+    else:
+        outs = []
+        for _, ref, tgt, _ in jobs:
             try:
-                matches, scores, _ = matcher(ref, tgt)
+                outs.append(matcher(ref, tgt))
             except Exception:
-                res.failed.append((ref, tgt))
-                continue
-            res.num_matches.append(len(matches))
-            errs = (
-                match_reprojection_errors(matches, H)
-                if len(matches)
-                else np.zeros(0)
-            )
-            res.errors[split].append(errs)
+                outs.append(None)
+    for (split, ref, tgt, H), out in zip(jobs, outs):
+        if out is None:
+            res.failed.append((ref, tgt))
+            continue
+        matches = out[0]
+        res.num_matches.append(len(matches))
+        errs = (
+            match_reprojection_errors(matches, H)
+            if len(matches)
+            else np.zeros(0)
+        )
+        res.errors[split].append(errs)
 
     mma = res.mma()
     log(

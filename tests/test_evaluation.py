@@ -192,3 +192,61 @@ def test_batched_matcher_sharded(tmp_path, tiny_matcher):
         ref_m, ref_s, ref_c = tiny_matcher.estimate_matches(pa, pb)
         np.testing.assert_allclose(m, ref_m, atol=1e-3)
         np.testing.assert_allclose(s, ref_s, atol=1e-4)
+
+
+def test_hpatches_with_batched_matcher(tmp_path, tiny_matcher):
+    """Config 3: HPatches pairs run mesh-sharded via BatchedMatcher."""
+    from patch2pix_tpu.evaluation.batched import BatchedMatcher
+    from patch2pix_tpu.evaluation.hpatches import eval_hpatches
+    from patch2pix_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    for seq in ("i_syn", "v_syn"):
+        d = tmp_path / seq
+        d.mkdir()
+        for k in (1, 2, 3):
+            Image.fromarray(
+                rng.integers(0, 255, (96, 128, 3), np.uint8)
+            ).save(str(d / f"{k}.png"))
+            if k > 1:
+                np.savetxt(str(d / f"H_1_{k}"), np.eye(3))
+
+    bm = BatchedMatcher(
+        tiny_matcher.model, tiny_matcher.variables,
+        mesh=make_mesh(8), ksize=2, imsize=128,
+    )
+    res = eval_hpatches(
+        None, str(tmp_path), batch_matcher=bm, log=lambda *_: None
+    )
+    assert len(res.errors["i"]) + len(res.errors["v"]) == 4
+    assert res.mma().shape == (10,)
+
+
+def test_ncnet_only_coarse_matcher(tmp_path):
+    """The reference's NCNet-only config: Patch2Pix without regressors."""
+    import jax
+    import jax.numpy as jnp
+
+    from patch2pix_tpu.config import ModelConfig
+    from patch2pix_tpu.evaluation.matcher import Matcher
+    from patch2pix_tpu.models.patch2pix import Patch2Pix
+
+    model = Patch2Pix(config=ModelConfig(regressor=None).resolved())
+    dummy = jnp.zeros((1, 96, 128, 3), jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, dummy, dummy, ksize=2,
+        method=model.predict_coarse,
+    )
+    m = Matcher(
+        model, variables, ksize=2, ncn_thres=0.0, imsize=128,
+        eval_type="coarse", mutual=True,
+    )
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"nc{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (240, 320, 3), np.uint8)).save(p)
+        paths.append(p)
+    matches, scores, coarse = m.estimate_matches(*paths)
+    assert matches.shape[1] == 4 and len(matches) > 0
+    np.testing.assert_array_equal(matches, coarse)  # coarse-only contract
