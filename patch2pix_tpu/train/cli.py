@@ -245,7 +245,15 @@ def main(argv=None):
     )
 
     # train step (sharded when >1 device)
-    tx = make_optimizer(optim_cfg, state.params, max(steps_per_epoch, 1))
+    freeze = ["extract", "ncn"]
+    if args.weight_epi[0] == 0:
+        # reference quirk: zero fine epi weight freezes the MID
+        # regressor (/root/reference/train_patch2pix.py:303-306)
+        freeze.append("regress_mid")
+        log("Freeze regress_mid ...")
+    tx = make_optimizer(
+        optim_cfg, state.params, max(steps_per_epoch, 1), freeze=tuple(freeze)
+    )
     n_dev = args.mesh or jax.local_device_count()
     step_kwargs = dict(
         ksize=args.ksize,
