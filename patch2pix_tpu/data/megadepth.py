@@ -20,6 +20,7 @@ from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+from PIL import Image
 
 from patch2pix_tpu.data.preprocess import load_image, scale_intrinsic, to_array
 
@@ -92,8 +93,6 @@ class MegaDepthPairDataset:
             os.path.join(self.data_root, pair.im2), crop=getattr(pair, "crop2", None)
         )
         F, K1, K2 = self._fundmat(pair, im1.width, im1.height, im2.width, im2.height)
-        from PIL import Image
-
         im1 = im1.resize((self.wt, self.ht), Image.BICUBIC)
         im2 = im2.resize((self.wt, self.ht), Image.BICUBIC)
         return {
