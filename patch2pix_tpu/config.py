@@ -43,6 +43,10 @@ class ModelConfig:
     # compute dtype for conv/matmul activations ("float32" | "bfloat16");
     # params stay float32, correlation/losses accumulate in float32
     dtype: str = "float32"
+    # patch-gather strategy: "auto" picks the superblock row-gather
+    # whenever the static shapes allow it; "block" forces the
+    # dynamic-slice path (A/B benchmarking)
+    gather: str = "auto"
 
     @property
     def compute_dtype(self):

@@ -52,7 +52,15 @@ from patch2pix_tpu.ops.match_extract import (
 from patch2pix_tpu.ops.patch_gather import (
     gather_local_patches,
     gather_local_patches_grid,
+    gather_local_patches_tiled,
 )
+
+
+def _tileable(feats, psize: int) -> bool:
+    """Static check: every pyramid level supports the 2x2-superblock
+    row-gather (input dims multiples of psize and >= 2*psize)."""
+    h, w = feats[0].shape[1], feats[0].shape[2]
+    return h % psize == 0 and w % psize == 0 and h >= 2 * psize and w >= 2 * psize
 
 
 def shift_to_anchors(coords: jax.Array, pshift: int, panc: int) -> jax.Array:
@@ -218,11 +226,20 @@ class Patch2Pix(nn.Module):
                 cfg.feats_downsample, psize,
             )
         else:
-            p1 = gather_local_patches(
+            # contiguous row-gather superblocks when the snapped sizes
+            # allow it (always at eval/train resolutions); scattered
+            # block slices otherwise
+            gather = (
+                gather_local_patches_tiled
+                if _tileable(feats1, psize) and _tileable(feats2, psize)
+                and cfg.gather != "block"
+                else gather_local_patches
+            )
+            p1 = gather(
                 feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
                 psize, "center",
             )
-            p2 = gather_local_patches(
+            p2 = gather(
                 feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
                 psize, "center",
             )

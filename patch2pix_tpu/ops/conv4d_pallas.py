@@ -90,16 +90,28 @@ def _pick_jb(w1: int, max_jb: int = 8) -> int:
     return 1
 
 
+def _pick_wb(w1: int, bytes_per_col: int, budget: int = 4 << 20) -> int:
+    """w1-block size: largest divisor of w1 whose 3-row DMA window
+    (wb+2 columns) fits the VMEM budget. At stride-16 eval scale the
+    whole row fits (wb = w1, one DMA per (b, i)); at change_stride
+    scale the window would be ~30 MB, so rows are split — the 2-column
+    overlap between adjacent blocks is the only re-read traffic."""
+    for wb in range(w1, 0, -1):
+        if w1 % wb == 0 and (wb + 2) * bytes_per_col * K <= budget:
+            return wb
+    return 1
+
+
 def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int,
                  jb: int):
     def kernel(x_hbm, w_ref, b_ref, o_ref, xs, sem):
-        """One (batch, h1-row) program.
+        """One (batch, h1-row, w1-block) program.
 
         x_hbm: (B, h1p, w1p, h2p, w2pp*Cin) padded volume in HBM.
         w_ref: (9, 3, w2pp*Cin, w2*Cout) shift panels in VMEM.
         b_ref: (1, w2*Cout) bias row (tiled over q) in VMEM.
-        o_ref: (1, 1, w1, h2, w2*Cout) output block in VMEM.
-        xs:    (3, w1p, h2p, w2pp*Cin) VMEM scratch (the row window).
+        o_ref: (1, 1, wb, h2, w2*Cout) output block in VMEM.
+        xs:    (3, wb+2, h2p, w2pp*Cin) VMEM scratch (the DMA window).
 
         Processes ``jb`` w1-columns per loop step: column c uses rows
         [c+dj] of the window, so a jb-column block uses the contiguous
@@ -108,9 +120,12 @@ def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int,
         """
         b = pl.program_id(0)
         i = pl.program_id(1)
-        w1 = o_ref.shape[2]
+        jw = pl.program_id(2)
+        wb = o_ref.shape[2]
 
-        cp = pltpu.make_async_copy(x_hbm.at[b, pl.ds(i, K)], xs, sem)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i, K), pl.ds(jw * wb, wb + 2)], xs, sem
+        )
         cp.start()
         cp.wait()
 
@@ -134,7 +149,7 @@ def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int,
             ).astype(o_ref.dtype)
             return 0
 
-        jax.lax.fori_loop(0, w1 // jb, col_body, 0)
+        jax.lax.fori_loop(0, wb // jb, col_body, 0)
 
     return kernel
 
@@ -186,25 +201,27 @@ def _conv4d_pallas_impl(
     bias = jnp.zeros((cout,), jnp.float32) if b is None else b.astype(jnp.float32)
     bias_row = jnp.tile(bias, (w2,)).reshape(1, w2 * cout)
 
-    jb = _pick_jb(w1)
+    bytes_per_col = h2p * w2pp * cin * x.dtype.itemsize
+    wb = _pick_wb(w1, bytes_per_col)
+    jb = _pick_jb(wb)
     out = pl.pallas_call(
         _make_kernel(h2, w2, cin, cout, h2p, w2pp, jb),
-        grid=(bs, h1),
+        grid=(bs, h1, w1 // wb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded volume in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, w1, h2, w2 * cout),
-            lambda b_, i: (b_, i, 0, 0, 0),
+            (1, 1, wb, h2, w2 * cout),
+            lambda b_, i, jw: (b_, i, jw, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
             (bs, h1, w1, h2, w2 * cout), jnp.float32
         ),
         scratch_shapes=[
-            pltpu.VMEM((K, w1 + 2 * pad, h2p, w2pp * cin), x.dtype),
+            pltpu.VMEM((K, wb + 2 * pad, h2p, w2pp * cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

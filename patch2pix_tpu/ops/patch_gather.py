@@ -170,6 +170,92 @@ def gather_local_patches_ref(
     return hyper.reshape(b, n, psize, psize, d)
 
 
+def _gather_level_tiled(
+    fmap: jax.Array, y_base: jax.Array, x_base: jax.Array, psize: int, ds: int,
+    tpx: int,
+) -> jax.Array:
+    """Per-level patch sampling via a 2x2 superblock of ``tpx``-px tiles.
+
+    Any ``psize``-px patch fits inside two consecutive ``tpx``-px tiles
+    per axis when ``tpx >= psize`` (the patch crosses at most one tile
+    boundary), so instead of one scattered ``dynamic_slice`` per
+    proposal this gathers FOUR contiguous space-to-depth rows per
+    proposal — a single row-gather op over a flattened tile array,
+    which the TPU executes as large sequential DMA reads. Output is
+    bit-identical to the reference's per-pixel
+    ``clip((base+d)//ds, 0, dim-1)`` sampling (edge replication
+    included): the clamped pixel index always lands inside the clamped
+    2x2 superblock window.
+
+    Requires H and W divisible by ``tpx`` (eval sizes are snapped to
+    multiples of upsample*ksize >= 16, /root/reference/utils/datasets/
+    preprocess.py:83-91) and at least 2x2 tiles per map.
+    """
+    b, h, w, c = fmap.shape
+    t = tpx // ds  # tile side in level cells
+    nty, ntx = h // t, w // t
+    # superblock anchor tile (top-left), clamped so 2x2 tiles fit
+    ky = jnp.clip(y_base // tpx, 0, nty - 2)  # (B, N)
+    kx = jnp.clip(x_base // tpx, 0, ntx - 2)
+
+    tiles = fmap.reshape(b, nty, t, ntx, t, c)
+    tiles = tiles.transpose(0, 1, 3, 2, 4, 5).reshape(b, nty * ntx, t * t * c)
+    # 4 tile rows per proposal: (ky+{0,1}) x (kx+{0,1})
+    dyx = jnp.asarray([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+    lin = ((ky[..., None] + dyx[None, None, :, 0]) * ntx
+           + (kx[..., None] + dyx[None, None, :, 1]))  # (B, N, 4)
+    n = lin.shape[1]
+    rows = jnp.take_along_axis(
+        tiles, lin.reshape(b, n * 4, 1), axis=1
+    )  # (B, N*4, t*t*c)
+    blk = rows.reshape(b, n, 2, 2, t, t, c)
+    blk = blk.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, n, 2 * t, 2 * t, c)
+
+    # within-superblock indices reproducing clip((base+d)//ds, 0, dim-1)
+    d = jnp.arange(psize)
+    iy = jnp.clip((y_base[..., None] + d) // ds, 0, h - 1) - ky[..., None] * t
+    ix = jnp.clip((x_base[..., None] + d) // ds, 0, w - 1) - kx[..., None] * t
+    iy = jnp.clip(iy, 0, 2 * t - 1)  # (B, N, psize)
+    ix = jnp.clip(ix, 0, 2 * t - 1)
+    out = jnp.take_along_axis(blk, iy[..., None, None], axis=2)
+    out = jnp.take_along_axis(out, ix[:, :, None, :, None], axis=3)
+    return out  # (B, N, psize, psize, C)
+
+
+def gather_local_patches_tiled(
+    feats: Sequence[jax.Array],
+    points: jax.Array,
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+    ptype: str = "center",
+) -> jax.Array:
+    """Row-gather variant of :func:`gather_local_patches` (same output).
+
+    Uses 2x2 superblocks of psize-px tiles per level (see
+    :func:`_gather_level_tiled`); exactly equal to the reference/naive
+    gather whenever every feature map dimension is a multiple of
+    ``psize`` and at least ``2*psize`` pixels — true for all snapped
+    eval sizes and the 480x320 training resolution.
+    """
+    x0 = points[..., 0].astype(jnp.int32)
+    y0 = points[..., 1].astype(jnp.int32)
+    if ptype == "center":
+        x0 = x0 - psize // 2
+        y0 = y0 - psize // 2
+
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    gathered = []
+    for j, fmap in enumerate(feats):
+        if j not in feat_idx:
+            continue
+        gathered.append(
+            _gather_level_tiled(fmap, y0, x0, psize, level_ds[j], psize)
+        )
+    hyper = jnp.concatenate(gathered, axis=-1)
+    return l2_normalize(hyper, axis=-1)
+
+
 def gather_local_patches_grid(
     feats: Sequence[jax.Array],
     points: jax.Array,

@@ -69,3 +69,35 @@ def test_gather_clamps_at_borders(rng):
         feat_idx=[0], feats_downsample=[1], psize=4, ptype="center",
     )
     assert np.isfinite(np.asarray(got)).all()
+
+
+def test_gather_tiled_equals_block_gather(rng):
+    """2x2-superblock row-gather == block-slice gather, borders included.
+
+    Uses psize=16 maps whose dims are multiples of psize (the snapped
+    eval-size contract) and points spanning interior + all borders,
+    for both stride-16 and change_stride pyramids.
+    """
+    from patch2pix_tpu.ops.patch_gather import gather_local_patches_tiled
+
+    h, w = 64, 96
+    dims = [3, 8, 8, 16]
+    for feats_downsample in ([1, 2, 2, 2], [1, 2, 2, 1]):
+        feats = []
+        ds = 1
+        for j, c in enumerate(dims):
+            ds = ds * feats_downsample[j] if j > 0 else 1
+            feats.append(
+                rng.standard_normal((2, h // ds, w // ds, c)).astype(np.float32)
+            )
+        pts = np.stack(
+            [rng.integers(0, w, (2, 40)), rng.integers(0, h, (2, 40))], axis=-1
+        ).astype(np.float32)
+        # force border coverage incl. the clamped corners
+        pts[:, :8] = [[0, 0], [w - 1, h - 1], [0, h - 1], [w - 1, 0],
+                      [3, 60], [95, 2], [17, 0], [0, 33]]
+        args = ([jnp.asarray(f) for f in feats], jnp.asarray(pts),
+                [0, 1, 2, 3], feats_downsample, 16, "center")
+        want = np.asarray(gather_local_patches(*args))
+        got = np.asarray(gather_local_patches_tiled(*args))
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
