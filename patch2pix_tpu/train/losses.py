@@ -124,6 +124,9 @@ def patch2pix_losses(
         "cls_ratios/fpos_gt": jnp.mean(fpos_sum / n),
         "cls_mid/acc": jnp.mean((mpred == (mcls_pos > 0.5)).astype(jnp.float32)),
         "cls_fine/acc": jnp.mean((fpred == (fcls_pos > 0.5)).astype(jnp.float32)),
-        "skipped": jnp.sum(~pair_cls_valid).astype(jnp.float32),
+        # the reference counts a pair once if it skips at EITHER gate:
+        # no cls positives (:140-142) or no epi inliers (:170-172);
+        # the two cases are exactly the pairs with ~pair_epi_valid
+        "skipped": jnp.sum(~pair_epi_valid).astype(jnp.float32),
     }
     return loss, metrics
