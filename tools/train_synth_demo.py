@@ -1,0 +1,171 @@
+"""Training-convergence demonstration at reference best-model scale.
+
+Trains the full Patch2Pix stack (frozen backbone + regressors, exactly
+the reference recipe semantics, /root/reference/train_patch2pix.py:77-222)
+on synthetic epipolar-consistent planar-scene pairs with exact ground
+truth F (patch2pix_tpu/data/synthetic.py) and records the loss curves
+plus a held-out epipolar-error metric — evidence the jitted/sharded
+train step LEARNS, not just runs.
+
+Defaults mirror the reference best-model configuration: batch 4,
+480x320 images, ptmax 400, panc 8, lr 5e-4 (README.md:74-80). A fixed
+pool of pairs is pre-generated on the host and cycled.
+
+Usage:
+  python tools/train_synth_demo.py [--steps 300] [--out artifacts/synth_train]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from patch2pix_tpu.config import ModelConfig, OptimConfig
+from patch2pix_tpu.data.synthetic import synthetic_batch
+from patch2pix_tpu.models.patch2pix import Patch2Pix
+from patch2pix_tpu.ops.geometry import sampson_dist_batched
+from patch2pix_tpu.train import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--ht", type=int, default=320)
+    ap.add_argument("--wt", type=int, default=480)
+    ap.add_argument("--ptmax", type=int, default=400)
+    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--pool", type=int, default=64, help="distinct pairs")
+    ap.add_argument("--eval_every", type=int, default=25)
+    ap.add_argument("--out", default="artifacts/synth_train")
+    args = ap.parse_args()
+
+    model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
+    optim_cfg = OptimConfig(lr_init=args.lr)
+    state = create_train_state(
+        rng=jax.random.PRNGKey(0), model=model, optim_cfg=optim_cfg,
+        image_shape=(1, 96, 128, 3),
+    )
+    tx = make_optimizer(optim_cfg, state.params)
+    step = jax.jit(
+        make_train_step(model, tx, ksize=2, ptmax=args.ptmax), donate_argnums=0
+    )
+
+    # fixed data pool (train) + held-out pairs (val)
+    rs = np.random.RandomState(7)
+    pool = [synthetic_batch(rs, args.batch, args.ht, args.wt)
+            for _ in range(args.pool // args.batch)]
+    val = synthetic_batch(np.random.RandomState(1234), args.batch, args.ht, args.wt)
+    val_j = {k: jnp.asarray(v) for k, v in val.items()}
+
+    @jax.jit
+    def val_epi(params, batch_stats, im1, im2, F):
+        fine, mid, cm = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            im1, im2, ksize=2, method=model.predict_fine,
+        )
+        d = sampson_dist_batched(fine.coords, F)
+        v = fine.valid.astype(jnp.float32)
+        # median-ish robust mean: clip at 50 px so misses don't swamp it
+        return jnp.sum(jnp.minimum(d, 50.0) * v) / jnp.maximum(jnp.sum(v), 1.0)
+
+    os.makedirs(args.out, exist_ok=True)
+    rows = []
+    t0 = time.time()
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in pool[i % len(pool)].items()}
+        state, metrics = step(state, batch, jax.random.PRNGKey(1000 + i))
+        row = {"step": i, **{k.replace("/", "_"): float(v)
+                             for k, v in metrics.items()}}
+        if i % args.eval_every == 0 or i == args.steps - 1:
+            row["val_fine_sampson_px"] = float(val_epi(
+                state.params, state.batch_stats,
+                val_j["im1"], val_j["im2"], val_j["F"]))
+            print(json.dumps(row))
+        rows.append(row)
+
+    wall = time.time() - t0
+    csv_path = os.path.join(args.out, "losses.csv")
+    keys = sorted({k for r in rows for k in r})
+    with open(csv_path, "w", newline="") as f:
+        wcsv = csv.DictWriter(f, fieldnames=keys)
+        wcsv.writeheader()
+        wcsv.writerows(rows)
+
+    # summary + plot
+    def win(key, sl):
+        vals = [r[key] for r in rows if key in r]
+        return float(np.mean(vals[sl]))
+
+    summary = {
+        "steps": args.steps,
+        "wall_s": round(wall, 1),
+        "ms_per_step_avg": round(1e3 * wall / args.steps, 1),
+        "loss_pair_first25": win("loss_pair", slice(0, 25)),
+        "loss_pair_last25": win("loss_pair", slice(-25, None)),
+        "epi_fine_first25": win("loss_epi_fine", slice(0, 25)),
+        "epi_fine_last25": win("loss_epi_fine", slice(-25, None)),
+        "val_sampson_first": [r["val_fine_sampson_px"] for r in rows
+                              if "val_fine_sampson_px" in r][0],
+        "val_sampson_last": [r["val_fine_sampson_px"] for r in rows
+                             if "val_fine_sampson_px" in r][-1],
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 3, figsize=(13, 3.5))
+        steps = [r["step"] for r in rows]
+
+        def smooth(key):
+            v = np.asarray([r[key] for r in rows])
+            k = np.ones(9) / 9
+            return np.convolve(v, k, mode="same")
+
+        axes[0].plot(steps, [r["loss_pair"] for r in rows], alpha=0.3)
+        axes[0].plot(steps, smooth("loss_pair"))
+        axes[0].set_title("total loss")
+        axes[1].plot(steps, [r["loss_epi_mid"] for r in rows], alpha=0.3,
+                     label="mid")
+        axes[1].plot(steps, [r["loss_epi_fine"] for r in rows], alpha=0.3,
+                     label="fine")
+        axes[1].plot(steps, smooth("loss_epi_mid"))
+        axes[1].plot(steps, smooth("loss_epi_fine"))
+        axes[1].set_title("epipolar loss (px)")
+        axes[1].legend()
+        vs = [(r["step"], r["val_fine_sampson_px"]) for r in rows
+              if "val_fine_sampson_px" in r]
+        axes[2].plot([s for s, _ in vs], [v for _, v in vs], marker="o")
+        axes[2].set_title("held-out fine sampson (px, clipped@50)")
+        for ax in axes:
+            ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(args.out, "curves.png"), dpi=110)
+        print("plot:", os.path.join(args.out, "curves.png"))
+    except Exception as e:  # matplotlib optional
+        print("plot skipped:", e)
+
+
+if __name__ == "__main__":
+    main()
