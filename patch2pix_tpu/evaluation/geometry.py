@@ -90,6 +90,51 @@ def matches2relapose_cv(
     return E, inls, R, t
 
 
+def matches2relapose_device(
+    p1: np.ndarray,
+    p2: np.ndarray,
+    K1: np.ndarray,
+    K2: np.ndarray,
+    rthres: float = 1.0,
+    n_samples: int = 256,
+    seed: int = 0,
+):
+    """Device-side 5-pt (Nister) RANSAC relative pose — the TPU-native
+    replacement for :func:`matches2relapose_cv` (zero host geometry;
+    cv2 stays available as a cross-check). Same preconditioning as the
+    reference (geometry.py:34-45): principal-point centring + focal
+    rescale of image-1 points, threshold in f2-pixels.
+
+    Match count is padded to power-of-two buckets (validity-masked) so
+    the jitted fixed-shape RANSAC compiles once per bucket, not per N.
+
+    Returns (E, inlier indices, R, t) like the cv2 variant.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from patch2pix_tpu.sfm.fivepoint import ransac_essential_5pt
+
+    p1n, p2n, K = _center_normalize(p1, p2, K1, K2)
+    f2 = K[0, 0]
+    n = len(p1n)
+    bucket = max(64, 1 << int(np.ceil(np.log2(max(n, 1)))))
+    pad = bucket - n
+    q1 = np.pad(p1n / f2, ((0, pad), (0, 0))).astype(np.float32)
+    q2 = np.pad(p2n / f2, ((0, pad), (0, 0))).astype(np.float32)
+    valid = np.zeros((bucket,), bool)
+    valid[:n] = True
+
+    res = ransac_essential_5pt(
+        jax.random.PRNGKey(seed), jnp.asarray(q1), jnp.asarray(q2),
+        n_samples, float((rthres / f2) ** 2), jnp.asarray(valid),
+    )
+    inls = np.where(np.asarray(res.inliers)[:n])[0]
+    R = np.asarray(res.R, np.float64)
+    t = np.asarray(res.t, np.float64).reshape(3, 1)
+    return np.asarray(res.E, np.float64), inls, R, t
+
+
 def matches2relapose_degensac(
     p1: np.ndarray,
     p2: np.ndarray,

@@ -9,7 +9,10 @@ and report qt error (max of rotation/translation angular error),
 pass rates qt<1..10 deg and inlier-distance histograms.
 
 Matching runs batched on device via the shape-bucketed ``Matcher``;
-RANSAC stays on host (cv2) as the reference does.
+relative pose runs through the device-side 5-pt Nister RANSAC
+(patch2pix_tpu/sfm/fivepoint.py) by default — zero host geometry — with
+the reference's cv2 path available via ``geo_backend='cv2'`` as a
+cross-check.
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ def eval_immatch_val_sets(
     min_overlap: float = 0.3,
     scenes: Optional[List[str]] = None,
     log: Callable[[str], None] = print,
+    geo_backend: str = "device",
 ) -> Tuple[float, np.ndarray, ImmatchResults]:
     """Run the validation protocol; returns (qt_mean, pass_rates, full)."""
     np.random.seed(0)  # deterministic pair sampling across epochs
@@ -113,7 +117,8 @@ def eval_immatch_val_sets(
             errs.num_matches.append(n)
             try:
                 terr, qerr, inls = eval_matches_relapose(
-                    matches, im1.K, im2.K, q_gt, t_gt, rthres
+                    matches, im1.K, im2.K, q_gt, t_gt, rthres,
+                    backend=geo_backend,
                 )
             except Exception:
                 errs.geo_failed.append((p1, p2))

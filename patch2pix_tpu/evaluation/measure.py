@@ -82,16 +82,24 @@ def eval_matches_relapose(
     q_gt: np.ndarray,
     t_gt: np.ndarray,
     ransac_thres: float = 1.0,
+    backend: str = "device",
 ) -> Tuple[float, float, np.ndarray]:
     """5-pt RANSAC relative pose from matches + angular errors vs GT.
 
     Returns (translation angle err deg, rotation angle err deg,
     inlier indices) — the reference protocol (measure.py:102-113).
+    ``backend``: 'device' (on-device Nister RANSAC, the default — the
+    validation loop runs with zero host geometry) or 'cv2' (the
+    reference's OpenCV path, kept as a cross-check).
     """
     from patch2pix_tpu.data.colmap_model import rotmat2qvec
-    from patch2pix_tpu.evaluation.geometry import matches2relapose_cv
+    from patch2pix_tpu.evaluation.geometry import (
+        matches2relapose_cv,
+        matches2relapose_device,
+    )
 
-    E, inls, R, t = matches2relapose_cv(
+    fn = matches2relapose_device if backend == "device" else matches2relapose_cv
+    E, inls, R, t = fn(
         matches[:, :2], matches[:, 2:4], K1, K2, rthres=ransac_thres
     )
     terr = float(vec_angle_error(np.asarray(t_gt), t.reshape(3)))

@@ -134,6 +134,84 @@ def _chirality_counts(Rs, ts, p1, p2, mask) -> jax.Array:
     return jax.vmap(count)(Rs, ts)
 
 
+def _rodrigues(w: jax.Array) -> jax.Array:
+    """so(3) exponential map (stable near 0)."""
+    th = jnp.sqrt(jnp.sum(w * w) + 1e-24)
+    k = w / th
+    Kx = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]]
+    )
+    return jnp.eye(3) + jnp.sin(th) * Kx + (1.0 - jnp.cos(th)) * (Kx @ Kx)
+
+
+def _skew3(t: jax.Array) -> jax.Array:
+    return jnp.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]]
+    )
+
+
+def refine_pose_gn(
+    R0: jax.Array, t0: jax.Array, p1: jax.Array, p2: jax.Array,
+    weights: jax.Array, iters: int = 5, robust_scale: float | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """IRLS Gauss-Newton refinement of (R, t) on the 5-dof essential
+    manifold.
+
+    Minimises the weighted signed Sampson residual over all
+    correspondences. The float32 linear 8-point refit is precision-
+    limited (the null-vector error scales with the SVD's f32 epsilon
+    over a small singular gap and differs across XLA backends); a few
+    GN iterations on the true geometric objective push the pose to the
+    noise floor of the data instead. t is updated in the tangent basis
+    of the unit sphere so scale never drifts.
+
+    ``robust_scale``: optional Cauchy scale (same units as the Sampson
+    distance). When set, per-point weights are re-computed every
+    iteration as ``1 / (1 + (r/scale)^2)`` on top of ``weights`` —
+    pseudo-inliers admitted by a loose RANSAC threshold get smoothly
+    down-weighted instead of dragging the pose.
+    """
+    ones = jnp.ones((p1.shape[0], 1), p1.dtype)
+    h1 = jnp.concatenate([p1, ones], axis=1)
+    h2 = jnp.concatenate([p2, ones], axis=1)
+
+    # tangent basis of t0 on S^2
+    a = jnp.where(jnp.abs(t0[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]),
+                  jnp.array([0.0, 1.0, 0.0]))
+    b1 = jnp.cross(t0, a)
+    b1 = b1 / jnp.linalg.norm(b1)
+    b2 = jnp.cross(t0, b1)
+
+    def residual(delta, R, t):
+        Rn = _rodrigues(delta[:3]) @ R
+        tn = t + delta[3] * b1 + delta[4] * b2
+        tn = tn / jnp.sqrt(jnp.sum(tn * tn) + 1e-24)
+        E = _skew3(tn) @ Rn
+        l2 = h1 @ E.T
+        l1 = h2 @ E
+        dd = jnp.sum(l2 * h2, axis=1)
+        denom = l1[:, 0] ** 2 + l1[:, 1] ** 2 + l2[:, 0] ** 2 + l2[:, 1] ** 2
+        return dd / jnp.sqrt(denom + 1e-18)
+
+    def step(_, carry):
+        R, t = carry
+        z = jnp.zeros((5,), p1.dtype)
+        r = residual(z, R, t)
+        w = weights
+        if robust_scale is not None:
+            w = w / (1.0 + (r / robust_scale) ** 2)
+        J = jax.jacfwd(residual)(z, R, t)  # (N, 5)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + 1e-9 * jnp.eye(5)
+        delta = -jnp.linalg.solve(H, Jw.T @ r)
+        Rn = _rodrigues(delta[:3]) @ R
+        tn = t + delta[3] * b1 + delta[4] * b2
+        tn = tn / jnp.sqrt(jnp.sum(tn * tn) + 1e-24)
+        return Rn, tn
+
+    return jax.lax.fori_loop(0, iters, step, (R0, t0))
+
+
 class TwoViewResult(NamedTuple):
     E: jax.Array  # (3, 3)
     R: jax.Array  # (3, 3) cam1 -> cam2

@@ -11,6 +11,7 @@ from patch2pix_tpu.evaluation.geometry import (
     pose2fund,
 )
 from patch2pix_tpu.evaluation.measure import (
+    eval_matches_relapose,
     quat_angle_error,
     sampson_distance,
     symmetric_epipolar_distance,
@@ -250,3 +251,31 @@ def test_ncnet_only_coarse_matcher(tmp_path):
     matches, scores, coarse = m.estimate_matches(*paths)
     assert matches.shape[1] == 4 and len(matches) > 0
     np.testing.assert_array_equal(matches, coarse)  # coarse-only contract
+
+
+def test_matches2relapose_device_matches_cv2():
+    """Device 5-pt RANSAC == cv2 path on the validation contract:
+    both recover the GT pose; interchangeably usable in immatch."""
+    from patch2pix_tpu.evaluation.geometry import matches2relapose_device
+
+    p1, p2, K, R, t = random_two_view(n=300, noise=0.3, seed=4)
+    E, inls, R_est, t_est = matches2relapose_device(p1, p2, K, K, rthres=1.0)
+    assert len(inls) > 100
+    assert quat_angle_error(rotmat2qvec(R), rotmat2qvec(R_est)) < 2.0
+    assert vec_angle_error(t, t_est.reshape(3)) < 5.0
+
+    # agreement with the cv2 cross-check on the same data
+    _, inls_cv, R_cv, t_cv = matches2relapose_cv(p1, p2, K, K, rthres=1.0)
+    assert quat_angle_error(rotmat2qvec(R_cv), rotmat2qvec(R_est)) < 2.0
+    assert vec_angle_error(t_cv.reshape(3), t_est.reshape(3)) < 5.0
+
+
+def test_eval_matches_relapose_device_backend():
+    p1, p2, K, R, t = random_two_view(n=200, noise=0.3, seed=7)
+    from patch2pix_tpu.data.colmap_model import rotmat2qvec as r2q
+
+    matches = np.concatenate([p1, p2], axis=1)
+    terr, qerr, inls = eval_matches_relapose(
+        matches, K, K, r2q(R), t, ransac_thres=1.0, backend="device"
+    )
+    assert qerr < 2.0 and terr < 5.0 and len(inls) > 80
