@@ -170,6 +170,85 @@ def make_dist_ba_step(mesh: Mesh, C: int, use_huber: bool = True):
     return jax.jit(sharded)
 
 
+def make_dist_ba_solver(
+    mesh: Mesh, C: int, use_huber: bool, max_iters: int, tol: float
+):
+    """Build the FULLY on-device LM solver (one jitted program).
+
+    The accept/reject damping logic lives inside a ``lax.while_loop``
+    within the shard_map, so the entire multi-iteration solve runs with
+    ZERO host round-trips — round 1 synced ``float(new_cost)`` to the
+    host every iteration, which serialises the solver against host
+    latency and caps multi-host scaling. Collectives (the psum of the
+    reduced camera system and of the cost) ride ICI inside the loop;
+    the damping state (lam, cost) is computed redundantly-replicated on
+    every shard, so no extra communication is introduced.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    def solve(Rs, ts, X, cam_idx, pt_idx, uv, obs_w, fixed, lam0, hd):
+        p0 = BAProblem(
+            Rs=Rs, ts=ts, X=X[0], cam_idx=cam_idx[0], pt_idx=pt_idx[0],
+            uv=uv[0], obs_w=obs_w[0], fixed_cams=fixed,
+        )
+        hd_or_none = hd if use_huber else None
+        cur0 = jax.lax.psum(cost(p0, hd_or_none), "ba")
+
+        def lm_cond(carry):
+            _, _, _, lam, _, it, done = carry
+            return (it < max_iters) & (~done) & (lam < 1e6)
+
+        def lm_body(carry):
+            Rs, ts, Xl, lam, cur, it, done = carry
+            p = BAProblem(
+                Rs=Rs, ts=ts, X=Xl, cam_idx=cam_idx[0], pt_idx=pt_idx[0],
+                uv=uv[0], obs_w=obs_w[0], fixed_cams=fixed,
+            )
+            S_cross_neg, U, b_red, W, Vinv, bp = schur_blocks(
+                p, lam, hd, use_huber, C
+            )
+            S_cross_neg = jax.lax.psum(S_cross_neg, "ba")
+            U = jax.lax.psum(U, "ba")
+            b_red = jax.lax.psum(b_red, "ba")
+            dc = solve_reduced(S_cross_neg, U, b_red, lam, fixed)
+            dp = backsub_points(p, W, Vinv, bp, dc)
+            nR, nt, nX = apply_updates(Rs, ts, Xl, dc, dp)
+            new_cost = jax.lax.psum(
+                cost(p._replace(Rs=nR, ts=nt, X=nX), hd_or_none), "ba"
+            )
+            accept = new_cost < cur
+            rel = (cur - new_cost) / jnp.maximum(cur, 1e-12)
+            Rs = jnp.where(accept, nR, Rs)
+            ts = jnp.where(accept, nt, ts)
+            Xl = jnp.where(accept, nX, Xl)
+            cur = jnp.where(accept, new_cost, cur)
+            lam = jnp.where(
+                accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6)
+            )
+            done = accept & (rel < tol)
+            return Rs, ts, Xl, lam, cur, it + 1, done
+
+        Rsf, tsf, Xf, _, curf, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (Rs, ts, X[0], lam0, cur0, jnp.int32(0), jnp.asarray(False)),
+        )
+        return Rsf, tsf, Xf[None], curf
+
+    sharded = shard_map(
+        solve,
+        mesh=mesh,
+        in_specs=(
+            P(), P(), P("ba"), P("ba"), P("ba"), P("ba"), P("ba"),
+            P(), P(), P(),
+        ),
+        out_specs=(P(), P(), P("ba"), P()),
+    )
+    return jax.jit(sharded)
+
+
 def run_dist_ba(
     sp: ShardedBA,
     mesh: Mesh,
@@ -178,44 +257,30 @@ def run_dist_ba(
     huber_delta: float = float("inf"),
     tol: float = 1e-8,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
-    """LM driver over the mesh-sharded step.
+    """LM driver over the mesh-sharded on-device solver.
 
-    Returns (Rs, ts, X_global, final_cost).
+    Returns (Rs, ts, X_global, final_cost). ONE jit call executes the
+    whole LM schedule on device; the only host sync is the final
+    result fetch.
     """
     use_huber = np.isfinite(huber_delta)
     C = sp.Rs.shape[0]
-    step = make_dist_ba_step(mesh, C, use_huber)
+    solver = make_dist_ba_solver(mesh, C, use_huber, max_iters, tol)
     hd = jnp.float32(huber_delta if use_huber else 1e9)
 
-    Rs = jnp.asarray(sp.Rs)
-    ts = jnp.asarray(sp.ts)
-    X = jnp.asarray(sp.X)
-    args = (
+    Rs, ts, X, cur = solver(
+        jnp.asarray(sp.Rs),
+        jnp.asarray(sp.ts),
+        jnp.asarray(sp.X),
         jnp.asarray(sp.cam_idx, jnp.int32),
         jnp.asarray(sp.pt_idx, jnp.int32),
         jnp.asarray(sp.uv),
         jnp.asarray(sp.obs_w),
         jnp.asarray(sp.fixed_cams),
+        jnp.float32(init_lambda),
+        hd,
     )
-    lam = init_lambda
-    cur = None
-    for _ in range(max_iters):
-        nR, nt, nX, new_cost, old_cost = step(
-            Rs, ts, X, *args, jnp.float32(lam), hd
-        )
-        if cur is None:
-            cur = float(old_cost)
-        new_cost = float(new_cost)
-        if new_cost < cur:
-            rel = (cur - new_cost) / max(cur, 1e-12)
-            Rs, ts, X, cur = nR, nt, nX, new_cost
-            lam = max(lam * 0.5, 1e-9)
-            if rel < tol:
-                break
-        else:
-            lam = min(lam * 4.0, 1e6)
-            if lam >= 1e6:
-                break
+    cur = float(cur)
 
     # scatter local points back to global order
     Xg = np.zeros((int(sp.X_map.max()) + 1, 3), np.float32)
