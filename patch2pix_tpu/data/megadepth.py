@@ -50,6 +50,8 @@ class MegaDepthPairDataset:
         wt: int = 480,
         ht: int = 320,
         dataset_dir: str = "MegaDepth_undistort",
+        triplet: bool = False,
+        seed: int = 0,
     ):
         self.data_root = os.path.join(data_root, dataset_dir)
         self.match_file = match_file
@@ -57,10 +59,18 @@ class MegaDepthPairDataset:
         match_dict = np.load(match_file, allow_pickle=True).item()
         self.scenes = list(scene_list) if scene_list else list(match_dict.keys())
         self.pairs: List = []
+        self.pair_scene: List[str] = []
         self.ims: Dict[str, list] = {}
         for sc in self.scenes:
-            self.pairs += list(match_dict[sc]["pairs"])
+            sc_pairs = list(match_dict[sc]["pairs"])
+            self.pairs += sc_pairs
+            self.pair_scene += [sc] * len(sc_pairs)
             self.ims[sc] = match_dict[sc]["ims"]
+        # triplet mode: add a random CROSS-SCENE negative image per pair
+        # (the reference's 'triplet' pair_type,
+        # /root/reference/utils/datasets/dataset_megadepth.py:78-97)
+        self.triplet = triplet and len(self.scenes) > 1
+        self._rng = np.random.default_rng(seed)
         self._F_cache: Dict = {}
         self._lock = threading.Lock()
 
@@ -95,13 +105,23 @@ class MegaDepthPairDataset:
         F, K1, K2 = self._fundmat(pair, im1.width, im1.height, im2.width, im2.height)
         im1 = im1.resize((self.wt, self.ht), Image.BICUBIC)
         im2 = im2.resize((self.wt, self.ht), Image.BICUBIC)
-        return {
+        out = {
             "im1": to_array(im1),
             "im2": to_array(im2),
             "F": F,
             "K1": K1,
             "K2": K2,
         }
+        if self.triplet:
+            scene = self.pair_scene[index]
+            others = [s for s in self.scenes if s != scene]
+            neg_scene = others[int(self._rng.integers(len(others)))]
+            neg_name = self.ims[neg_scene][
+                int(self._rng.integers(len(self.ims[neg_scene])))
+            ]
+            neg = load_image(os.path.join(self.data_root, neg_name))
+            out["neg_im"] = to_array(neg.resize((self.wt, self.ht), Image.BICUBIC))
+        return out
 
 
 def batch_iterator(

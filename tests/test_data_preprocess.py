@@ -120,3 +120,58 @@ def test_megadepth_dataset(tmp_path):
     batches = list(batch_iterator(ds, 2, shuffle=False, num_workers=2))
     assert batches[0]["im1"].shape == (2, 64, 96, 3)
     assert batches[0]["F"].shape == (2, 3, 3)
+
+
+def test_megadepth_dataset_triplet_and_plotting(tmp_path):
+    """Triplet mode adds a cross-scene negative; loader visualisers and
+    the cv2/pdf plot helpers render from the produced batches."""
+    from types import SimpleNamespace
+
+    from patch2pix_tpu.data.megadepth import MegaDepthPairDataset, batch_iterator
+    from patch2pix_tpu.utils.plotting import (
+        plot_imlist_to_pdf,
+        plot_matches_cv,
+        plot_pair_loader,
+        plot_triple_loader,
+    )
+
+    rng = np.random.default_rng(0)
+    scenes = {}
+    K = np.array([[500.0, 0, 247], [0, 500, 165], [0, 0, 1]])
+    for sc in ("0001", "0002"):
+        (tmp_path / "MegaDepth_undistort" / sc).mkdir(parents=True)
+        names = []
+        for i in range(2):
+            name = f"{sc}/im{i}.jpg"
+            Image.fromarray(
+                rng.integers(0, 255, (330, 495, 3), np.uint8)
+            ).save(str(tmp_path / "MegaDepth_undistort" / name))
+            names.append(name)
+        pair = SimpleNamespace(
+            im1=names[0], im2=names[1], K1=K, K2=K,
+            R=np.eye(3), t=np.array([1.0, 0, 0]),
+        )
+        scenes[sc] = {"ims": names, "pairs": [pair]}
+    npy = tmp_path / "pairs.npy"
+    np.save(npy, scenes)
+
+    ds = MegaDepthPairDataset(str(tmp_path), str(npy), wt=96, ht=64, triplet=True)
+    item = ds[0]
+    assert item["neg_im"].shape == (64, 96, 3)
+    # the negative comes from the OTHER scene deterministically possible
+    batches = list(batch_iterator(ds, 2, shuffle=False, num_workers=1))
+    assert batches[0]["neg_im"].shape[0] == 2
+
+    fig = plot_pair_loader(batches, row_max=2)
+    assert fig is not None
+    fig = plot_triple_loader(batches, row_max=2)
+    assert fig is not None
+
+    matches = np.array([[10.0, 10, 20, 20], [40, 30, 45, 33]])
+    canvas = plot_matches_cv(item["im1"] * 0.2 + 0.45, item["im2"] * 0.2 + 0.45,
+                             matches)
+    assert canvas.dtype == np.uint8 and canvas.shape[1] == 2 * 96
+
+    pdf = tmp_path / "grids.pdf"
+    plot_imlist_to_pdf([[item["im1"] * 0 + 0.5] * 2], str(pdf))
+    assert pdf.stat().st_size > 0
