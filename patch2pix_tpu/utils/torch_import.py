@@ -104,12 +104,12 @@ def _convert_resnet_keys(
                 _put_bn(params, stats, (*scope, block, rest[0]), rest[1], v)
 
 
-def _convert_ncn_keys(sd, params, scope=("ncn",)):
-    # reference layer indices: conv.0, conv.2 (ReLU at odd indices)
+def _convert_ncn_keys(sd, params, scope=("ncn",), prefix="ncn.conv."):
+    # reference layer indices: conv.0, conv.2, ... (ReLU at odd indices)
     for key, v in sd.items():
-        if not key.startswith("ncn.conv."):
+        if not key.startswith(prefix):
             continue
-        _, _, idx, leaf = key.split(".")
+        idx, leaf = key[len(prefix):].split(".")
         li = int(idx) // 2
         if leaf == "weight":
             _set(params, (*scope, f"conv{li}_kernel"), _convert_conv4d(v))
@@ -165,6 +165,53 @@ def convert_patch2pix_state_dict(
     _convert_regressor_keys(sd, "regress_mid", params, stats)
     _convert_regressor_keys(sd, "regress_fine", params, stats)
     return params, stats
+
+
+def convert_vgg16_features(
+    sd: Mapping[str, np.ndarray],
+    prefix: str = "features.",
+    scope: Tuple[str, ...] = ("FeatureExtraction",),
+) -> dict:
+    """torchvision ``vgg16().features`` keys -> VGG16Features params.
+
+    Keys look like ``features.N.weight``; N indexes the sequential
+    layer list, identical to ``patch2pix_tpu.models.vgg.VGG16_LAYERS``
+    ordering, so the conv name is looked up positionally.
+    """
+    from patch2pix_tpu.models.vgg import VGG16_LAYERS
+
+    params: dict = {}
+    for key, v in sd.items():
+        if not key.startswith(prefix):
+            continue
+        idx, leaf = key[len(prefix):].split(".")
+        name, kind, _ = VGG16_LAYERS[int(idx)]
+        if kind != "conv":
+            continue
+        if leaf == "weight":
+            _set(params, (*scope, name, "kernel"), _convert_conv2d(v))
+        elif leaf == "bias":
+            _set(params, (*scope, name, "bias"), v)
+    return params
+
+
+def convert_ncnet_checkpoint(
+    sd: Mapping[str, np.ndarray],
+) -> Tuple[dict, dict]:
+    """NCNet-family checkpoint -> ImMatchNet (params, batch_stats).
+
+    Handles the reference's checkpoint-surgery layout
+    (/root/reference/networks/ncn/model.py:233-271): keys
+    ``FeatureExtraction.model.N.*`` (vgg16 trunk; the reference also
+    renames legacy 'vgg' keys to 'model') and
+    ``NeighConsensus.conv.M.*`` (pre-permuted Conv4d filters).
+    """
+    sd = {k.replace(".vgg.", ".model."): v for k, v in sd.items()}
+    params = convert_vgg16_features(sd, prefix="FeatureExtraction.model.")
+    _convert_ncn_keys(
+        sd, params, scope=("NeighConsensus",), prefix="NeighConsensus.conv."
+    )
+    return params, {}
 
 
 def convert_torchvision_resnet(sd: Mapping[str, np.ndarray]) -> Tuple[dict, dict]:
