@@ -142,18 +142,25 @@ def matches2relapose_degensac(
     K2: np.ndarray,
     rthres: float = 1.0,
 ):
-    """DEGENSAC variant (optional dependency; raises if unavailable)."""
+    """DEGENSAC variant (reference geometry.py:53-71).
+
+    Uses pydegensac when installed; otherwise falls back to OpenCV's
+    fundamental-matrix RANSAC (``findFundamentalMat`` + ``fund2ess``)
+    — the same F-space estimation contract without the plane-degeneracy
+    test, documented as an approximation rather than a hard gate.
+    """
     import cv2
 
+    p1n, p2n, K = _center_normalize(p1, p2, K1, K2)
     try:
         import pydegensac
-    except ImportError as e:  # pragma: no cover - optional dep
-        raise ImportError(
-            "pydegensac is not installed; use matches2relapose_cv"
-        ) from e
 
-    p1n, p2n, K = _center_normalize(p1, p2, K1, K2)
-    F, inls = pydegensac.findFundamentalMatrix(p1n, p2n, rthres)
+        F, inls = pydegensac.findFundamentalMatrix(p1n, p2n, rthres)
+    except ImportError:
+        F, inls = cv2.findFundamentalMat(
+            np.ascontiguousarray(p1n), np.ascontiguousarray(p2n),
+            cv2.FM_RANSAC, rthres, 0.999,
+        )
     E = fund2ess(F, K, K)
     inls = np.where(np.asarray(inls).ravel() > 0)[0]
     _, R, t, _ = cv2.recoverPose(E, p1n[inls], p2n[inls], K)

@@ -279,3 +279,15 @@ def test_eval_matches_relapose_device_backend():
         matches, K, K, r2q(R), t, ransac_thres=1.0, backend="device"
     )
     assert qerr < 2.0 and terr < 5.0 and len(inls) > 80
+
+
+def test_matches2relapose_degensac_fallback():
+    """Without pydegensac the degensac API falls back to cv2 F-RANSAC
+    and still recovers the pose (documented approximation)."""
+    from patch2pix_tpu.evaluation.geometry import matches2relapose_degensac
+
+    p1, p2, K, R, t = random_two_view(n=300, noise=0.3, seed=9)
+    E, inls, R_est, t_est = matches2relapose_degensac(p1, p2, K, K, rthres=1.0)
+    assert len(inls) > 80
+    assert quat_angle_error(rotmat2qvec(R), rotmat2qvec(R_est)) < 3.0
+    assert vec_angle_error(t, t_est.reshape(3)) < 8.0
