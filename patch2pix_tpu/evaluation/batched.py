@@ -39,6 +39,7 @@ class BatchedMatcher:
         ncn_thres: float = 0.0,
         mutual: bool = True,
         imsize: Optional[int] = None,
+        fine_cap: Optional[int] = 1200,
     ):
         self.model = model
         self.variables = variables
@@ -49,6 +50,7 @@ class BatchedMatcher:
         self.ncn_thres = ncn_thres
         self.mutual = mutual
         self.imsize = imsize
+        self.fine_cap = fine_cap  # see evaluation.matcher.Matcher
         self.upsample = model.config.upsample
 
         repl = NamedSharding(self.mesh, P())
@@ -58,6 +60,7 @@ class BatchedMatcher:
             fine, mid, coarse = self.model.apply(
                 variables, im1, im2, ksize=self.ksize,
                 ncn_thres=self.ncn_thres, mutual=self.mutual,
+                fine_cap=self.fine_cap,
                 method=self.model.predict_fine,
             )
             return fine.coords, fine.scores, fine.valid, coarse.coords

@@ -122,6 +122,7 @@ class Matcher:
         mutual: bool = True,
         imsize: Optional[int] = None,
         eval_type: str = "fine",
+        fine_cap: Optional[int] = 1200,
     ):
         self.model = model
         self.variables = variables
@@ -131,6 +132,13 @@ class Matcher:
         self.mutual = mutual
         self.imsize = imsize
         self.eval_type = eval_type
+        # static bound on rows entering the regression stages: exact
+        # whenever a pair has <= fine_cap valid coarse matches (the
+        # overwhelmingly common case), score-ranked truncation beyond.
+        # 1200 anchors to the reference's regr_batch chunk size; the
+        # stride-8 coarse grid has nb = 3072+ rows of which most are
+        # invalid padding — capping them is the dominant eval speedup.
+        self.fine_cap = fine_cap
         self.upsample = model.config.upsample
 
         @functools.partial(jax.jit, static_argnums=(3,))
@@ -138,6 +146,7 @@ class Matcher:
             fine, mid, coarse = self.model.apply(
                 variables, im1, im2, ksize=self.ksize,
                 ncn_thres=self.ncn_thres, mutual=mutual,
+                fine_cap=self.fine_cap,
                 method=self.model.predict_fine,
             )
             return fine, coarse

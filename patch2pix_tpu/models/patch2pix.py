@@ -320,12 +320,22 @@ class Patch2Pix(nn.Module):
         ksize: int = 2,
         ncn_thres: float = 0.0,
         mutual: bool = True,
+        fine_cap: Optional[int] = None,
     ):
         """Full inference (/root/reference/networks/patch2pix.py:250-276).
 
         Eval uses panc=1 so anchors are the coarse matches themselves.
         Returns (fine: Matches, mid: Matches, coarse: Matches) — all
         N rows with the coarse validity mask carried through.
+
+        ``fine_cap``: optional static bound on the rows entering the
+        regression stages. Valid rows are compacted to the front
+        (score-ranked), so the result is EXACTLY the uncapped one
+        whenever the pair has <= fine_cap valid coarse matches; beyond
+        that the lowest-scoring matches are dropped (the reference has
+        no eval cap, but at change_stride scale most of the nb = h2*w2
+        rows are invalid padding and regressing them all is the
+        dominant cost).
         """
         feats1 = self.extract_pyramid(im1, train=False)
         feats2 = self.extract_pyramid(im2, train=False)
@@ -338,6 +348,15 @@ class Patch2Pix(nn.Module):
             # nb rows — half the proposal work for identical output
             nb = corr.shape[3] * corr.shape[4]
             cm = Matches(cm.coords[:, :nb], cm.scores[:, :nb], cm.valid[:, :nb])
+        if fine_cap is not None and fine_cap < cm.coords.shape[1]:
+            # compact valid rows to the front, highest score first
+            rank = jnp.where(cm.valid, cm.scores, -jnp.inf)
+            order = jnp.argsort(-rank, axis=1)[:, :fine_cap]  # (B, cap)
+            cm = Matches(
+                coords=jnp.take_along_axis(cm.coords, order[..., None], axis=1),
+                scores=jnp.take_along_axis(cm.scores, order, axis=1),
+                valid=jnp.take_along_axis(cm.valid, order, axis=1),
+            )
         # at eval the coarse coords are exactly cell centres; when the
         # stride matches the patch size every mid patch is tile-aligned
         # and the cheap space-to-depth gather applies (bit-identical)

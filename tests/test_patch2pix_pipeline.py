@@ -155,3 +155,42 @@ def test_parse_regressor_out_offsets():
     assert abs(m[1] - 42.0) < 1e-5
     assert abs(m[2] - 42.0) < 1e-5  # relu(0)=0 -> -8
     assert abs(float(p[0, 0]) - 0.5) < 1e-6  # sigmoid(0)
+
+
+def test_fine_cap_exact_when_not_binding(rng):
+    """predict_fine(fine_cap=K) == uncapped on the valid set whenever
+    the pair has <= K valid coarse matches (score-ranked compaction)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patch2pix_tpu.config import ModelConfig
+    from patch2pix_tpu.models.patch2pix import Patch2Pix
+
+    model = Patch2Pix(config=ModelConfig().resolved())
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    im = jnp.asarray(rng.standard_normal((1, 96, 128, 3)), jnp.float32)
+    im2 = jnp.asarray(rng.standard_normal((1, 96, 128, 3)), jnp.float32)
+    variables = model.init(
+        {"params": k1, "proposal": k2}, im, im2, ksize=2, ptmax=8, train=False
+    )
+    fine0, mid0, cm0 = model.apply(
+        variables, im, im2, ksize=2, method=model.predict_fine
+    )
+    n_valid = int(np.sum(np.asarray(cm0.valid)))
+    cap = max(n_valid + 3, 8)
+    fine1, mid1, cm1 = model.apply(
+        variables, im, im2, ksize=2, fine_cap=cap, method=model.predict_fine
+    )
+    assert cm1.coords.shape[1] == cap
+
+    def rows(m):
+        v = np.asarray(m.valid[0])
+        c = np.asarray(m.coords[0])[v]
+        s = np.asarray(m.scores[0])[v]
+        order = np.lexsort(c.T)
+        return c[order], s[order]
+
+    for a, b in zip(rows(cm0), rows(cm1)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+    for a, b in zip(rows(fine0), rows(fine1)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
