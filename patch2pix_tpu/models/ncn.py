@@ -49,8 +49,15 @@ class NeighConsensus(nn.Module):
 
         def stack(x, transpose: bool):
             op = conv4d_transpose_symmetric if transpose else conv4d
-            for w, b in weights:
-                x = nn.relu(op(x.astype(self.dtype), w.astype(self.dtype), b))
+            for li, (w, b) in enumerate(weights):
+                # intermediate volumes are stored in the compute dtype
+                # (halves the HBM round-trip of the 16-channel tensor);
+                # the final layer keeps the f32 accumulator
+                od = self.dtype if li < len(weights) - 1 else None
+                x = nn.relu(
+                    op(x.astype(self.dtype), w.astype(self.dtype), b,
+                       out_dtype=od)
+                )
             return x
 
         x = corr[..., None]  # add channel axis

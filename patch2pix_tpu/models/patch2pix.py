@@ -40,7 +40,13 @@ from patch2pix_tpu.config import ModelConfig
 from patch2pix_tpu.models.resnet import BACKBONES
 from patch2pix_tpu.models.ncn import NeighConsensus
 from patch2pix_tpu.models.regressor import FeatRegressNet
-from patch2pix_tpu.ops.correlation import l2_normalize, feat_correlation, maxpool4d, mutual_matching
+from patch2pix_tpu.ops.correlation import (
+    l2_normalize,
+    feat_correlation,
+    maxpool4d,
+    maxpool4d_values,
+    mutual_matching,
+)
 from patch2pix_tpu.ops.match_extract import (
     Matches,
     corr_to_matches,
@@ -163,7 +169,11 @@ class Patch2Pix(nn.Module):
         corr = feat_correlation(feat1, feat2)
         delta4d = None
         if ksize > 1:
-            corr, delta4d = maxpool4d(corr, ksize)
+            # values-only pooling; the raw pre-pool volume stands in
+            # for delta4d and the relocalisation offsets are decoded
+            # lazily at the selected cells (correlation.decode_delta_at)
+            delta4d = corr
+            corr = maxpool4d_values(corr, ksize)
         corr = mutual_matching(corr)
         corr = self.ncn(corr)
         corr = mutual_matching(corr)

@@ -35,6 +35,7 @@ def conv4d(
     x: jax.Array,
     w: jax.Array,
     b: jax.Array | None = None,
+    out_dtype: jax.typing.DTypeLike | None = None,
 ) -> jax.Array:
     """SAME 4D convolution, stride 1.
 
@@ -42,6 +43,9 @@ def conv4d(
       x: ``(B, h1, w1, h2, w2, Cin)`` input volume.
       w: ``(k, k, k, k, Cin, Cout)`` filters (spatial order di, dj, dk, dl).
       b: optional ``(Cout,)`` bias.
+      out_dtype: output storage dtype (accumulation is always float32);
+        default float32. Passing bf16 halves the HBM write+read of a
+        large intermediate volume (the NCN's 16-channel tensor).
 
     Returns:
       ``(B, h1, w1, h2, w2, Cout)``.
@@ -55,14 +59,16 @@ def conv4d(
     # Dispatch the expensive configurations to the blocked Pallas
     # kernel on TPU backends: a lax.conv with tiny Cout pays the MXU's
     # 128-lane output padding (~100x wasted FLOPs for the NCN's 16->1
-    # layer); the Pallas kernel's shift-panel matmuls scale with
-    # w2*Cout instead.
-    if k == K_PALLAS and cout <= 4 and _tpu_backend():
+    # layer, 8x for the 1->16 layer — and the tap path additionally
+    # re-materialises the 16-channel volume per accumulation step);
+    # the Pallas kernel's shift-panel matmuls scale with w2*Cout.
+    if k == K_PALLAS and cout * cin <= 16 and _tpu_backend():
         from patch2pix_tpu.ops.conv4d_pallas import conv4d_pallas
 
-        return conv4d_pallas(x, w, b)
+        return conv4d_pallas(x, w, b, out_dtype=out_dtype)
 
-    return conv4d_xla_taps(x, w, b)
+    out = conv4d_xla_taps(x, w, b)
+    return out if out_dtype is None else out.astype(out_dtype)
 
 
 def conv4d_xla_taps(
@@ -97,7 +103,10 @@ def conv4d_xla_taps(
 
 
 def conv4d_transpose_symmetric(
-    x: jax.Array, w: jax.Array, b: jax.Array | None = None
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    out_dtype: jax.typing.DTypeLike | None = None,
 ) -> jax.Array:
     """conv4d applied to the A<->B transposed volume, transposed back.
 
@@ -114,4 +123,4 @@ def conv4d_transpose_symmetric(
     so transposing the (huge, layout-hostile) volume twice reduces to
     permuting the (tiny) filter's spatial axes once.
     """
-    return conv4d(x, w.transpose(2, 3, 0, 1, 4, 5), b)
+    return conv4d(x, w.transpose(2, 3, 0, 1, 4, 5), b, out_dtype=out_dtype)

@@ -23,10 +23,10 @@ reshape / unaligned DMA) ever happens:
     output row written per iteration. Panels are plain 2D matrices
     throughout — no reshapes, no transposes.
 
-Economical when ``w2*Cout`` is small (the NCN's 16->1 layer); the
-Cin=1 layer stays on the XLA im2col path (see
-:func:`patch2pix_tpu.ops.conv4d.conv4d`), which dispatches here
-automatically on TPU backends.
+Economical when ``w2*Cout*Cin`` is modest — both NCN layers (1->16 and
+16->1) dispatch here automatically on TPU backends (see
+:func:`patch2pix_tpu.ops.conv4d.conv4d`); big-Cin*Cout configurations
+stay on the XLA im2col path.
 """
 
 from __future__ import annotations
@@ -90,14 +90,24 @@ def _pick_jb(w1: int, max_jb: int = 8) -> int:
     return 1
 
 
-def _pick_wb(w1: int, bytes_per_col: int, budget: int = 4 << 20) -> int:
-    """w1-block size: largest divisor of w1 whose 3-row DMA window
-    (wb+2 columns) fits the VMEM budget. At stride-16 eval scale the
-    whole row fits (wb = w1, one DMA per (b, i)); at change_stride
-    scale the window would be ~30 MB, so rows are split — the 2-column
-    overlap between adjacent blocks is the only re-read traffic."""
+def _pick_wb(
+    w1: int, bytes_per_col: int, out_bytes_per_col: int,
+    fixed_bytes: int, budget: int = 12 << 20,
+) -> int:
+    """w1-block size: largest divisor of w1 whose VMEM working set
+    (3-row DMA window of wb+2 columns + the wb-column output block +
+    the resident weight panels) fits the budget. At stride-16 eval
+    scale the whole row fits (wb = w1, one DMA per (b, i)); at
+    change_stride scale the window would be ~30 MB, so rows are split
+    — the 2-column overlap between adjacent blocks is the only re-read
+    traffic."""
     for wb in range(w1, 0, -1):
-        if w1 % wb == 0 and (wb + 2) * bytes_per_col * K <= budget:
+        used = (
+            (wb + 2) * bytes_per_col * K
+            + wb * out_bytes_per_col
+            + fixed_bytes
+        )
+        if w1 % wb == 0 and used <= budget:
             return wb
     return 1
 
@@ -154,12 +164,13 @@ def _make_kernel(h2: int, w2: int, cin: int, cout: int, h2p: int, w2pp: int,
     return kernel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv4d_pallas(
     x: jax.Array,
     w: jax.Array,
     b: jax.Array | None = None,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """SAME 4D convolution (k=3, stride 1) as a blocked Pallas kernel.
 
@@ -173,15 +184,16 @@ def conv4d_pallas(
     filters (runs on the XLA tap path), and the weight gradient is a
     per-tap tensor contraction.
     """
-    return _conv4d_pallas_impl(x, w, b, interpret)
+    return _conv4d_pallas_impl(x, w, b, interpret, out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def _conv4d_pallas_impl(
     x: jax.Array,
     w: jax.Array,
     b: jax.Array | None = None,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     assert w.shape[:4] == (K, K, K, K), f"pallas conv4d is k=3 only, got {w.shape}"
     bs, h1, w1, h2, w2, cin = x.shape
@@ -201,8 +213,11 @@ def _conv4d_pallas_impl(
     bias = jnp.zeros((cout,), jnp.float32) if b is None else b.astype(jnp.float32)
     bias_row = jnp.tile(bias, (w2,)).reshape(1, w2 * cout)
 
+    odtype = jnp.dtype(jnp.float32 if out_dtype is None else out_dtype)
     bytes_per_col = h2p * w2pp * cin * x.dtype.itemsize
-    wb = _pick_wb(w1, bytes_per_col)
+    out_bytes_per_col = h2 * w2 * cout * odtype.itemsize
+    panel_bytes = K * K * K * w2pp * cin * w2 * cout * x.dtype.itemsize
+    wb = _pick_wb(w1, bytes_per_col, out_bytes_per_col, panel_bytes)
     jb = _pick_jb(wb)
     out = pl.pallas_call(
         _make_kernel(h2, w2, cin, cout, h2p, w2pp, jb),
@@ -218,7 +233,8 @@ def _conv4d_pallas_impl(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (bs, h1, w1, h2, w2 * cout), jnp.float32
+            (bs, h1, w1, h2, w2 * cout),
+            jnp.float32 if out_dtype is None else jnp.dtype(out_dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((K, wb + 2 * pad, h2p, w2pp * cin), x.dtype),
@@ -229,11 +245,14 @@ def _conv4d_pallas_impl(
     return out.reshape(bs, h1, w1, h2, w2, cout)
 
 
-def _conv4d_pallas_fwd(x, w, b, interpret):
-    return _conv4d_pallas_impl(x, w, b, interpret), (x, w, b is not None)
+def _conv4d_pallas_fwd(x, w, b, interpret, out_dtype):
+    return (
+        _conv4d_pallas_impl(x, w, b, interpret, out_dtype),
+        (x, w, b is not None),
+    )
 
 
-def _conv4d_pallas_bwd(interpret, res, g):
+def _conv4d_pallas_bwd(interpret, out_dtype, res, g):
     from patch2pix_tpu.ops.conv4d import conv4d_xla_taps
 
     x, w, has_bias = res

@@ -129,3 +129,67 @@ def maxpool4d(corr: jax.Array, ksize: int = 2):
     x, dj, (dl, dk) = pool_axis(x, (dl, dk), 2)
     x, di, (dl, dk, dj) = pool_axis(x, (dl, dk, dj), 1)
     return x, (di, dj, dk, dl)
+
+
+def maxpool4d_values(corr: jax.Array, ksize: int = 2) -> jax.Array:
+    """Values-only 4D max-pool (no argmax decode) — the fast path.
+
+    Measured on chip at change_stride scale, :func:`maxpool4d`'s
+    offset-carrying minor-axis-first passes cost 88 ms of a 330 ms
+    iteration: the stride-k slicing of the LANE axis (w2) is a
+    relayout over the full 1.2 GB volume, and the carried int32 offset
+    arrays double the traffic. Pooling MAJOR-first shrinks the volume
+    4x before any lane-strided access, and the relocalisation offsets
+    are not materialised at all — :func:`decode_delta_at` recomputes
+    them later for just the few thousand selected cells.
+
+    Identical pooled values (max is order-independent).
+    """
+    if ksize == 1:
+        return corr
+    x = corr
+    for axis in (1, 2, 3, 4):
+        views = [
+            jax.lax.slice_in_dim(x, i, None, stride=ksize, axis=axis)
+            for i in range(ksize)
+        ]
+        best = views[0]
+        for v in views[1:]:
+            best = jnp.maximum(best, v)
+        x = best
+    return x
+
+
+def decode_delta_at(
+    corr: jax.Array,
+    ia: jax.Array, ja: jax.Array, ib: jax.Array, jb: jax.Array,
+    ksize: int,
+) -> tuple:
+    """Within-window argmax offsets for SELECTED pooled cells only.
+
+    corr: the PRE-POOL ``(B, h1, w1, h2, w2)`` volume.
+    ia/ja/ib/jb: ``(B, N)`` pooled-grid indices of the cells to decode.
+    Returns (di, dj, dk, dl) each ``(B, N)`` int32 — bit-identical to
+    gathering :func:`maxpool4d`'s delta4d at those cells: the flat
+    argmax of the k^4 window with first-max tie-breaking equals the
+    lexicographic (di, dj, dk, dl) tie-break of the sequential
+    slice-compare formulation.
+    """
+    k = ksize
+    b, h1, w1, h2, w2 = corr.shape
+    n = ia.shape[1]
+    flat = corr.reshape(b, -1)
+    # k^4 window member offsets, row-major (di, dj, dk, dl)
+    di, dj, dk, dl = jnp.meshgrid(
+        jnp.arange(k), jnp.arange(k), jnp.arange(k), jnp.arange(k),
+        indexing="ij",
+    )
+    woff = (
+        ((di.ravel() * w1 + dj.ravel()) * h2 + dk.ravel()) * w2 + dl.ravel()
+    )  # linear offsets of window members relative to the window origin
+    base = ((ia * k * w1 + ja * k) * h2 + ib * k) * w2 + jb * k  # (B, N)
+    lin = base[..., None] + woff[None, None, :]  # (B, N, k^4)
+    vals = jnp.take_along_axis(flat, lin.reshape(b, n * k**4), axis=1)
+    vals = vals.reshape(b, n, k**4)
+    arg = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # first max wins
+    return (arg // (k**3), (arg // (k**2)) % k, (arg // k) % k, arg % k)

@@ -113,7 +113,19 @@ def corr_to_matches(
     ib = jnp.concatenate([ib1, ib2], axis=1)
     jb = jnp.concatenate([jb1, jb2], axis=1)
 
-    if delta4d is not None:
+    if delta4d is not None and not isinstance(delta4d, (tuple, list)):
+        # lazy relocalisation: delta4d is the PRE-POOL volume; offsets
+        # are recomputed for just the N selected cells instead of
+        # materialising four full int32 delta volumes (see
+        # correlation.maxpool4d_values / decode_delta_at)
+        from patch2pix_tpu.ops.correlation import decode_delta_at
+
+        di, dj, dk, dl = decode_delta_at(delta4d, ia, ja, ib, jb, ksize)
+        ia = ia * ksize + di
+        ja = ja * ksize + dj
+        ib = ib * ksize + dk
+        jb = jb * ksize + dl
+    elif delta4d is not None:
         di, dj, dk, dl = delta4d
         lin = ((ia * w1 + ja) * h2 + ib) * w2 + jb  # (B, N)
         gather = lambda d: jnp.take_along_axis(d.reshape(b, -1), lin, axis=1)

@@ -95,3 +95,53 @@ def test_conv4d_transpose_symmetric_identity():
     want = conv4d(x.transpose(0, 3, 4, 1, 2, 5), w, b).transpose(0, 3, 4, 1, 2, 5)
     got = conv4d_transpose_symmetric(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_maxpool4d_values_and_lazy_decode(rng):
+    """Values-only pool + per-cell decode == the offset-carrying pool."""
+    from patch2pix_tpu.ops.correlation import (
+        decode_delta_at,
+        maxpool4d,
+        maxpool4d_values,
+    )
+
+    corr = jnp.asarray(rng.standard_normal((2, 8, 12, 6, 10)), jnp.float32)
+    pooled_ref, (di, dj, dk, dl) = maxpool4d(corr, 2)
+    pooled = maxpool4d_values(corr, 2)
+    np.testing.assert_array_equal(np.asarray(pooled), np.asarray(pooled_ref))
+
+    # decode at every pooled cell and compare against the full deltas
+    b = 2
+    hp, wp, h2p, w2p = pooled.shape[1:]
+    ii, jj, kk, ll = np.meshgrid(
+        np.arange(hp), np.arange(wp), np.arange(h2p), np.arange(w2p),
+        indexing="ij",
+    )
+    ia = jnp.asarray(np.tile(ii.ravel(), (b, 1)))
+    ja = jnp.asarray(np.tile(jj.ravel(), (b, 1)))
+    ib = jnp.asarray(np.tile(kk.ravel(), (b, 1)))
+    jb = jnp.asarray(np.tile(ll.ravel(), (b, 1)))
+    gdi, gdj, gdk, gdl = decode_delta_at(corr, ia, ja, ib, jb, 2)
+    for got, want in ((gdi, di), (gdj, dj), (gdk, dk), (gdl, dl)):
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(b, hp, wp, h2p, w2p), np.asarray(want)
+        )
+
+
+def test_maxpool4d_values_with_ties(rng):
+    """Tie-breaking: duplicate window values decode to the first
+    (lexicographic) position, like the reference's sequential slices."""
+    from patch2pix_tpu.ops.correlation import decode_delta_at, maxpool4d
+
+    corr = np.zeros((1, 4, 4, 4, 4), np.float32)
+    corr[0, 2, 2, 2, 2] = 5.0
+    corr[0, 2, 2, 2, 3] = 5.0  # tie within the same window
+    corr[0, 3, 3, 3, 3] = 5.0  # tie in a later window position
+    cj = jnp.asarray(corr)
+    _, (di, dj, dk, dl) = maxpool4d(cj, 2)
+    ia = jnp.asarray([[1]]); ib = jnp.asarray([[1]])
+    gdi, gdj, gdk, gdl = decode_delta_at(cj, ia, ia, ib, ib, 2)
+    assert (int(gdi[0, 0]), int(gdj[0, 0]), int(gdk[0, 0]), int(gdl[0, 0])) == (
+        int(di[0, 1, 1, 1, 1]), int(dj[0, 1, 1, 1, 1]),
+        int(dk[0, 1, 1, 1, 1]), int(dl[0, 1, 1, 1, 1]),
+    )
