@@ -104,7 +104,8 @@ def _pick_wb(
     for wb in range(w1, 0, -1):
         used = (
             (wb + 2) * bytes_per_col * K
-            + wb * out_bytes_per_col
+            # output blocks are double-buffered by the pipeline
+            + 2 * wb * out_bytes_per_col
             + fixed_bytes
         )
         if w1 % wb == 0 and used <= budget:
@@ -216,7 +217,12 @@ def _conv4d_pallas_impl(
     odtype = jnp.dtype(jnp.float32 if out_dtype is None else out_dtype)
     bytes_per_col = h2p * w2pp * cin * x.dtype.itemsize
     out_bytes_per_col = h2 * w2 * cout * odtype.itemsize
-    panel_bytes = K * K * K * w2pp * cin * w2 * cout * x.dtype.itemsize
+    jb_max = _pick_jb(w1)
+    panel_bytes = (
+        K * K * K * w2pp * cin * w2 * cout * x.dtype.itemsize
+        # the f32 accumulator tile inside col_body
+        + jb_max * h2 * w2 * cout * 4
+    )
     wb = _pick_wb(w1, bytes_per_col, out_bytes_per_col, panel_bytes)
     jb = _pick_jb(wb)
     out = pl.pallas_call(
@@ -240,6 +246,13 @@ def _conv4d_pallas_impl(
             pltpu.VMEM((K, wb + 2 * pad, h2p, w2pp * cin), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # the _pick_wb working-set model keeps blocks SMALL for pipeline
+        # overlap; the compiler's default 16 MiB scoped-vmem ceiling is
+        # raised so double-buffering overheads it adds on top never
+        # hard-fail the compile (v5e VMEM is 128 MiB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(xp, panels, bias_row)
     return out.reshape(bs, h1, w1, h2, w2, cout)

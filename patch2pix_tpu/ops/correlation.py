@@ -178,18 +178,24 @@ def decode_delta_at(
     k = ksize
     b, h1, w1, h2, w2 = corr.shape
     n = ia.shape[1]
-    flat = corr.reshape(b, -1)
-    # k^4 window member offsets, row-major (di, dj, dk, dl)
-    di, dj, dk, dl = jnp.meshgrid(
-        jnp.arange(k), jnp.arange(k), jnp.arange(k), jnp.arange(k),
-        indexing="ij",
+    # gather whole w2-ROWS (contiguous, lane-friendly — scattered
+    # element gathers from the huge flat volume lower pathologically),
+    # then pick the k window lanes per row with a tiny take
+    rows = corr.reshape(b, h1 * w1 * h2, w2)
+    di, dj, dk = jnp.meshgrid(
+        jnp.arange(k), jnp.arange(k), jnp.arange(k), indexing="ij"
     )
-    woff = (
-        ((di.ravel() * w1 + dj.ravel()) * h2 + dk.ravel()) * w2 + dl.ravel()
-    )  # linear offsets of window members relative to the window origin
-    base = ((ia * k * w1 + ja * k) * h2 + ib * k) * w2 + jb * k  # (B, N)
-    lin = base[..., None] + woff[None, None, :]  # (B, N, k^4)
-    vals = jnp.take_along_axis(flat, lin.reshape(b, n * k**4), axis=1)
-    vals = vals.reshape(b, n, k**4)
+    di, dj, dk = di.ravel(), dj.ravel(), dk.ravel()  # (k^3,)
+    row_idx = (
+        ((ia * k)[..., None] + di) * (w1 * h2)
+        + ((ja * k)[..., None] + dj) * h2
+        + (ib * k)[..., None] + dk
+    )  # (B, N, k^3)
+    got = jnp.take_along_axis(
+        rows, row_idx.reshape(b, n * k**3, 1), axis=1
+    ).reshape(b, n, k**3, w2)
+    lane = (jb * k)[..., None, None] + jnp.arange(k)[None, None, None, :]
+    vals = jnp.take_along_axis(got, lane, axis=3)  # (B, N, k^3, k)
+    vals = vals.reshape(b, n, k**4)  # row-major (di, dj, dk, dl)
     arg = jnp.argmax(vals, axis=-1).astype(jnp.int32)  # first max wins
     return (arg // (k**3), (arg // (k**2)) % k, (arg // k) % k, arg % k)
