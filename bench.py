@@ -54,8 +54,12 @@ def build(change_stride: bool = False):
     def predict_loop(variables, im1, im2, iters):
         def body(i, carry):
             im1c, acc = carry
+            # fine_cap=1200 is the Matcher default (evaluation/matcher.py);
+            # a no-op at stride 16 (nb=768 rows), the dominant saving at
+            # change_stride (nb=3072, mostly invalid padding rows)
             fine, mid, coarse = model.apply(
-                variables, im1c, im2, ksize=2, method=model.predict_fine
+                variables, im1c, im2, ksize=2, fine_cap=1200,
+                method=model.predict_fine,
             )
             # feed a scalar of the output back into the next input: a
             # real data dependency so the loop body cannot be hoisted
