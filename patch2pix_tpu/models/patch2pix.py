@@ -40,12 +40,17 @@ from patch2pix_tpu.config import ModelConfig
 from patch2pix_tpu.models.resnet import BACKBONES
 from patch2pix_tpu.models.ncn import NeighConsensus
 from patch2pix_tpu.models.regressor import FeatRegressNet
+from patch2pix_tpu.ops.conv4d import _tpu_backend
 from patch2pix_tpu.ops.correlation import (
     l2_normalize,
     feat_correlation,
     maxpool4d,
     maxpool4d_values,
     mutual_matching,
+)
+from patch2pix_tpu.ops.corr_pool_pallas import (
+    corr_pool_fused,
+    corr_pool_supported,
 )
 from patch2pix_tpu.ops.match_extract import (
     Matches,
@@ -166,14 +171,26 @@ class Patch2Pix(nn.Module):
         """
         feat1 = l2_normalize(feat1, axis=-1)
         feat2 = l2_normalize(feat2, axis=-1)
-        corr = feat_correlation(feat1, feat2)
         delta4d = None
-        if ksize > 1:
+        if ksize > 1 and corr_pool_supported(feat1, feat2, ksize):
+            # fused Pallas correlation+pool: the pre-pool volume (1.2 GB
+            # at change_stride eval scale) is never materialised; the
+            # relocalisation offsets are a function of the features and
+            # are recomputed lazily at the selected cells
+            # (corr_pool_pallas.decode_delta_from_feats)
+            corr = corr_pool_fused(
+                feat1, feat2, interpret=not _tpu_backend()
+            )
+            delta4d = ("feats", feat1, feat2)
+        elif ksize > 1:
             # values-only pooling; the raw pre-pool volume stands in
             # for delta4d and the relocalisation offsets are decoded
             # lazily at the selected cells (correlation.decode_delta_at)
+            corr = feat_correlation(feat1, feat2)
             delta4d = corr
             corr = maxpool4d_values(corr, ksize)
+        else:
+            corr = feat_correlation(feat1, feat2)
         corr = mutual_matching(corr)
         corr = self.ncn(corr)
         corr = mutual_matching(corr)

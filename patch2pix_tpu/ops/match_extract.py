@@ -58,9 +58,14 @@ def corr_to_matches(
 
     Args:
       corr: ``(B, h1, w1, h2, w2)`` (post neighbourhood-consensus).
-      delta4d: optional within-window offsets from :func:`maxpool4d`,
-        each ``(B, h1, w1, h2, w2)`` int32. When given, indices are
-        relocated to the pre-pool grid: ``i*ksize + di``.
+      delta4d: optional relocalisation source. Any of: the 4-tuple of
+        within-window offset volumes from :func:`maxpool4d`; the raw
+        PRE-POOL volume (offsets decoded lazily at the selected cells,
+        :func:`..correlation.decode_delta_at`); or ``("feats", f1, f2)``
+        from the fused corr+pool path (offsets recomputed from the
+        features, :func:`..corr_pool_pallas.decode_delta_from_feats`).
+        When given, indices are relocated to the pre-pool grid:
+        ``i*ksize + di``.
       ksize: the pooling factor used to produce ``corr``.
       do_softmax: score = softmax over the reduced axis (argmax is
         taken on raw values; softmax is monotonic so they agree).
@@ -113,7 +118,24 @@ def corr_to_matches(
     ib = jnp.concatenate([ib1, ib2], axis=1)
     jb = jnp.concatenate([jb1, jb2], axis=1)
 
-    if delta4d is not None and not isinstance(delta4d, (tuple, list)):
+    if (
+        isinstance(delta4d, (tuple, list))
+        and len(delta4d) == 3
+        and delta4d[0] == "feats"
+    ):
+        # fused corr+pool path: no pre-pool volume exists; offsets are
+        # recomputed from the features at the selected cells
+        from patch2pix_tpu.ops.corr_pool_pallas import decode_delta_from_feats
+
+        _, feat1, feat2 = delta4d
+        di, dj, dk, dl = decode_delta_from_feats(
+            feat1, feat2, ia, ja, ib, jb, ksize
+        )
+        ia = ia * ksize + di
+        ja = ja * ksize + dj
+        ib = ib * ksize + dk
+        jb = jb * ksize + dl
+    elif delta4d is not None and not isinstance(delta4d, (tuple, list)):
         # lazy relocalisation: delta4d is the PRE-POOL volume; offsets
         # are recomputed for just the N selected cells instead of
         # materialising four full int32 delta volumes (see
