@@ -61,9 +61,9 @@ from patch2pix_tpu.ops.match_extract import (
     select_ptmax,
 )
 from patch2pix_tpu.ops.patch_gather import (
-    gather_local_patches,
-    gather_local_patches_grid,
-    gather_local_patches_tiled,
+    gather_local_patches_grid_levels,
+    gather_local_patches_levels,
+    gather_local_patches_tiled_levels,
 )
 
 
@@ -244,11 +244,11 @@ class Patch2Pix(nn.Module):
         h2, w2 = feats2[0].shape[1], feats2[0].shape[2]
 
         if grid_aligned:
-            p1 = gather_local_patches_grid(
+            lv1, inv1 = gather_local_patches_grid_levels(
                 feats1, coords[..., 0:2], cfg.feat_idx,
                 cfg.feats_downsample, psize,
             )
-            p2 = gather_local_patches_grid(
+            lv2, inv2 = gather_local_patches_grid_levels(
                 feats2, coords[..., 2:4], cfg.feat_idx,
                 cfg.feats_downsample, psize,
             )
@@ -257,24 +257,35 @@ class Patch2Pix(nn.Module):
             # allow it (always at eval/train resolutions); scattered
             # block slices otherwise
             gather = (
-                gather_local_patches_tiled
+                gather_local_patches_tiled_levels
                 if _tileable(feats1, psize) and _tileable(feats2, psize)
                 and cfg.gather != "block"
-                else gather_local_patches
+                else gather_local_patches_levels
             )
-            p1 = gather(
+            lv1, inv1 = gather(
                 feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
                 psize, "center",
             )
-            p2 = gather(
+            lv2, inv2 = gather(
                 feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
                 psize, "center",
             )
-        d = p1.shape[-1]
+
+        # normalise + flatten per level; the regressor's SegmentedConv
+        # contracts each level against its kernel slice, so the wide
+        # hypercolumn concat never materialises
+        dtype = cfg.compute_dtype
+
+        def scaled(levels, inv):
+            return tuple(
+                (lv.astype(jnp.float32) * inv).astype(dtype).reshape(
+                    b * n, psize, psize, lv.shape[-1]
+                )
+                for lv in levels
+            )
+
         out = regressor(
-            p1.reshape(b * n, psize, psize, d),
-            p2.reshape(b * n, psize, psize, d),
-            train=train,
+            scaled(lv1, inv1), scaled(lv2, inv2), train=train
         ).reshape(b, n, 5)
         return parse_regressor_out(out, coords, psize, "center", (w1, h1, w2, h2))
 

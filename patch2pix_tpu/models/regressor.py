@@ -8,24 +8,81 @@ logits + 1 confidence logit per proposal.
 TPU redesign: patches arrive channels-last ``(M, psize, psize, D)`` and
 the whole proposal set is one batched forward — the reference's 1200-
 proposal chunk loop disappears (memory is handled by remat + bf16 at
-the pipeline level, not host-side chunking).
+the pipeline level, not host-side chunking). Inputs may also arrive as
+PER-PYRAMID-LEVEL tensors (see :class:`SegmentedConv`): the first conv
+contracts over the hypercolumn channel axis, so by linearity it can be
+applied per level slice and summed — the wide (M, psize, psize, D)
+concat tensor (0.8 GB of f32 at eval scale) never materialises.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+Patches = Union[jax.Array, Sequence[jax.Array]]
 
 
 def _conv_out_size(w: int, k: int, s: int, p: int) -> int:
     return (w - k + 2 * p) // s + 1
 
 
+def _as_tuple(x: Patches) -> Tuple[jax.Array, ...]:
+    return tuple(x) if isinstance(x, (list, tuple)) else (x,)
+
+
+class SegmentedConv(nn.Module):
+    """``nn.Conv(features, (k, k), strides, padding=1, use_bias=False)``
+    over the channel-concat of several inputs, WITHOUT concatenating.
+
+    Owns the identical ``kernel`` parameter (same name, shape and init
+    as the nn.Conv it replaces, so torch-checkpoint conversion is
+    untouched) and applies the per-segment kernel slices as separate
+    convolutions accumulated in f32 — exactly the concat conv by
+    linearity of the contraction.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs: Patches) -> jax.Array:
+        xs = _as_tuple(xs)
+        cin = sum(x.shape[-1] for x in xs)
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, cin, self.features),
+        )
+        off = 0
+        acc = None
+        for x in xs:
+            c = x.shape[-1]
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel[:, :, off : off + c, :].astype(self.dtype),
+                window_strides=(self.stride, self.stride),
+                padding=[(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32,
+            )
+            acc = y if acc is None else acc + y
+            off += c
+        return acc.astype(self.dtype)
+
+
 class FeatRegressNet(nn.Module):
-    """(M, psize, psize, D) x2 -> (M, 5) raw regressor outputs."""
+    """(M, psize, psize, D) x2 -> (M, 5) raw regressor outputs.
+
+    ``f1``/``f2`` may each be a single hypercolumn tensor or a sequence
+    of per-level tensors whose channel concat is the hypercolumn (the
+    zero-concat fast path; identical math).
+    """
 
     conv_dims: Sequence[int] = (512, 512)
     conv_kers: Sequence[int] = (3, 3)
@@ -37,17 +94,22 @@ class FeatRegressNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f1: jax.Array, f2: jax.Array, train: bool = False) -> jax.Array:
-        f1 = f1.astype(self.dtype)
-        f2 = f2.astype(self.dtype)
+    def __call__(self, f1: Patches, f2: Patches, train: bool = False) -> jax.Array:
         convs = []
         for i, (dim, k, s) in enumerate(
             zip(self.conv_dims, self.conv_kers, self.conv_strs)
         ):
+            conv = (
+                SegmentedConv(features=dim, kernel_size=k, stride=s,
+                              dtype=self.dtype, name=f"conv{i}")
+                if i == 0
+                else nn.Conv(dim, (k, k), strides=(s, s),
+                             padding=[(1, 1), (1, 1)], use_bias=False,
+                             dtype=self.dtype, name=f"conv{i}")
+            )
             convs.append(
                 (
-                    nn.Conv(dim, (k, k), strides=(s, s), padding=[(1, 1), (1, 1)],
-                            use_bias=False, dtype=self.dtype, name=f"conv{i}"),
+                    conv,
                     nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype, name=f"convbn{i}"),
                 )
@@ -63,7 +125,7 @@ class FeatRegressNet(nn.Module):
             return jnp.max(x, axis=(1, 2))
 
         if self.feat_comb == "pre":
-            feat = conv_stack(jnp.concatenate([f1, f2], axis=-1))
+            feat = conv_stack(_as_tuple(f1) + _as_tuple(f2))
         else:
             # 'post': shared conv stack applied to each image's patches
             feat = jnp.concatenate([conv_stack(f1), conv_stack(f2)], axis=-1)

@@ -256,6 +256,119 @@ def gather_local_patches_tiled(
     return l2_normalize(hyper, axis=-1)
 
 
+def _levels_inv_norm(gathered: Sequence[jax.Array], eps: float = 1e-6) -> jax.Array:
+    """Per-pixel inverse hypercolumn L2 norm from UNCONCATENATED levels.
+
+    Equivalent to the ``rsqrt(sum(x^2) + eps)`` factor of
+    :func:`l2_normalize` over the channel concat, computed as a sum of
+    per-level f32 square-sums — the (B, N, p, p, D) concat tensor never
+    exists. Returns ``(B, N, p, p, 1)`` float32.
+    """
+    sq = None
+    for g in gathered:
+        s = jnp.sum(jnp.square(g.astype(jnp.float32)), axis=-1, keepdims=True)
+        sq = s if sq is None else sq + s
+    return jax.lax.rsqrt(sq + eps)
+
+
+def gather_local_patches_tiled_levels(
+    feats: Sequence[jax.Array],
+    points: jax.Array,
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+    ptype: str = "center",
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """:func:`gather_local_patches_tiled` without the concat+normalize.
+
+    Returns ``(levels, inv_norm)`` where ``levels[i]`` is the
+    (B, N, psize, psize, C_i) patch tensor of pyramid level
+    ``feat_idx[i]`` in its ORIGINAL dtype and ``inv_norm`` is the
+    (B, N, psize, psize, 1) f32 hypercolumn normalizer. Consumers that
+    contract over the hypercolumn (the regressor's first conv) apply
+    the kernel per level slice and scale by ``inv_norm`` — exactly
+    ``l2_normalize(concat(levels))`` by linearity, but the wide f32
+    concat tensor (0.8 GB at eval scale) is never materialised.
+    """
+    x0 = points[..., 0].astype(jnp.int32)
+    y0 = points[..., 1].astype(jnp.int32)
+    if ptype == "center":
+        x0 = x0 - psize // 2
+        y0 = y0 - psize // 2
+
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    gathered = []
+    for j, fmap in enumerate(feats):
+        if j not in feat_idx:
+            continue
+        gathered.append(
+            _gather_level_tiled(fmap, y0, x0, psize, level_ds[j], psize)
+        )
+    return tuple(gathered), _levels_inv_norm(gathered)
+
+
+def gather_local_patches_levels(
+    feats: Sequence[jax.Array],
+    points: jax.Array,
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+    ptype: str = "center",
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Block-slice variant of :func:`gather_local_patches_tiled_levels`
+    (the fallback when map dims are not psize-tileable)."""
+    x0 = points[..., 0].astype(jnp.int32)
+    y0 = points[..., 1].astype(jnp.int32)
+    if ptype == "center":
+        x0 = x0 - psize // 2
+        y0 = y0 - psize // 2
+
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    gathered = []
+    for j, fmap in enumerate(feats):
+        if j not in feat_idx:
+            continue
+        gathered.append(
+            _gather_level_blocks(fmap, y0, x0, psize, level_ds[j])
+        )
+    return tuple(gathered), _levels_inv_norm(gathered)
+
+
+def gather_local_patches_grid_levels(
+    feats: Sequence[jax.Array],
+    points: jax.Array,
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
+    """Grid-aligned variant of
+    :func:`gather_local_patches_tiled_levels` (see
+    :func:`gather_local_patches_grid` for the alignment contract)."""
+    b, n, _ = points.shape
+    gx = ((points[..., 0].astype(jnp.int32) - psize // 2) // psize)  # (B, N)
+    gy = ((points[..., 1].astype(jnp.int32) - psize // 2) // psize)
+
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    gathered = []
+    for j, fmap in enumerate(feats):
+        if j not in feat_idx:
+            continue
+        ds = level_ds[j]
+        t = psize // ds  # tile side at this level
+        bb, h, w, c = fmap.shape
+        gxc = jnp.clip(gx, 0, w // t - 1)
+        gyc = jnp.clip(gy, 0, h // t - 1)
+        tiles = fmap.reshape(bb, h // t, t, w // t, t, c)
+        tiles = tiles.transpose(0, 1, 3, 2, 4, 5)  # space-to-depth
+        tiles = tiles.reshape(bb, (h // t) * (w // t), t * t * c)
+        lin = gyc * (w // t) + gxc  # (B, N)
+        rows = jnp.take_along_axis(tiles, lin[..., None], axis=1)
+        patch = rows.reshape(b, n, t, 1, t, 1, c)
+        patch = jnp.broadcast_to(patch, (b, n, t, ds, t, ds, c))
+        gathered.append(patch.reshape(b, n, psize, psize, c))
+    return tuple(gathered), _levels_inv_norm(gathered)
+
+
 def gather_local_patches_grid(
     feats: Sequence[jax.Array],
     points: jax.Array,

@@ -101,3 +101,4 @@ def test_gather_tiled_equals_block_gather(rng):
         want = np.asarray(gather_local_patches(*args))
         got = np.asarray(gather_local_patches_tiled(*args))
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
+

@@ -31,14 +31,18 @@ def test_losses_decrease_on_synthetic_pairs():
         image_shape=(1, 96, 128, 3),
     )
     tx = make_optimizer(optim_cfg, state.params)
-    step = jax.jit(make_train_step(model, tx, ksize=2, ptmax=64))
+    # ptmax kept small: the point is the loss TREND, not the recipe
+    # scale (tools/train_synth_demo.py runs the full-scale recipe on
+    # chip); 24 steps x 48 proposals keeps this test under ~10 min on
+    # the CPU fake backend
+    step = jax.jit(make_train_step(model, tx, ksize=2, ptmax=48))
 
     rs = np.random.RandomState(0)
     batch = {k: jax.numpy.asarray(v)
              for k, v in synthetic_batch(rs, 2, 96, 128).items()}
 
     hist = []
-    for i in range(36):
+    for i in range(24):
         state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
         hist.append({k: float(v) for k, v in metrics.items()})
 
