@@ -171,7 +171,8 @@ def make_dist_ba_step(mesh: Mesh, C: int, use_huber: bool = True):
 
 
 def make_dist_ba_solver(
-    mesh: Mesh, C: int, use_huber: bool, max_iters: int, tol: float
+    mesh: Mesh, C: int, use_huber: bool, max_iters: int, tol: float,
+    debug_checks: bool = False,
 ):
     """Build the FULLY on-device LM solver (one jitted program).
 
@@ -183,6 +184,17 @@ def make_dist_ba_solver(
     reduced camera system and of the cost) ride ICI inside the loop;
     the damping state (lam, cost) is computed redundantly-replicated on
     every shard, so no extra communication is introduced.
+
+    ``debug_checks`` is the SURVEY §5 race-detection prescription for
+    multi-host runs: the psum-assembled reduced camera system and the
+    LM cost are REPLICATED state — after every psum each shard must
+    hold the same blocks up to all-reduce accumulation-order rounding
+    (~1e-7 relative). The debug build checksums them and tracks the
+    maximum relative cross-shard divergence through the whole solve;
+    anything above the rounding floor means a desynchronised shard
+    (corrupted collective, host-dependent input skew, nondeterministic
+    op) and fails the run loudly instead of silently corrupting poses.
+    Costs two scalar collectives per iteration, debug mode only.
     """
     try:
         from jax import shard_map
@@ -197,12 +209,30 @@ def make_dist_ba_solver(
         hd_or_none = hd if use_huber else None
         cur0 = jax.lax.psum(cost(p0, hd_or_none), "ba")
 
+        def replicated_divergence(*blocks):
+            """Max RELATIVE cross-shard deviation of a checksum of
+            state that must be replicated after the psums.
+
+            Not an exact-equality test: XLA's all-reduce may accumulate
+            in a participant-dependent order (measured ~1e-7 relative
+            jitter on the CPU fake mesh), so replicated state agrees to
+            reduction rounding, not bitwise. A desynchronised shard
+            (corrupted collective, skewed host input) shows up orders
+            of magnitude above that."""
+            chk = jnp.float32(0.0)
+            for blk in blocks:
+                chk = chk + jnp.sum(jnp.abs(blk).astype(jnp.float32))
+            n = jax.lax.psum(jnp.float32(1.0), "ba")
+            mean = jax.lax.psum(chk, "ba") / n
+            dev = jax.lax.pmax(jnp.abs(chk - mean), "ba")
+            return dev / jnp.maximum(jnp.abs(mean), 1e-30)
+
         def lm_cond(carry):
-            _, _, _, lam, _, it, done = carry
+            _, _, _, lam, _, it, done, _ = carry
             return (it < max_iters) & (~done) & (lam < 1e6)
 
         def lm_body(carry):
-            Rs, ts, Xl, lam, cur, it, done = carry
+            Rs, ts, Xl, lam, cur, it, done, maxdiv = carry
             p = BAProblem(
                 Rs=Rs, ts=ts, X=Xl, cam_idx=cam_idx[0], pt_idx=pt_idx[0],
                 uv=uv[0], obs_w=obs_w[0], fixed_cams=fixed,
@@ -229,13 +259,21 @@ def make_dist_ba_solver(
                 accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 4.0, 1e6)
             )
             done = accept & (rel < tol)
-            return Rs, ts, Xl, lam, cur, it + 1, done
+            if debug_checks:
+                maxdiv = jnp.maximum(
+                    maxdiv,
+                    replicated_divergence(
+                        S_cross_neg, U, b_red, new_cost, lam
+                    ),
+                )
+            return Rs, ts, Xl, lam, cur, it + 1, done, maxdiv
 
-        Rsf, tsf, Xf, _, curf, _, _ = jax.lax.while_loop(
+        Rsf, tsf, Xf, _, curf, _, _, maxdiv = jax.lax.while_loop(
             lm_cond, lm_body,
-            (Rs, ts, X[0], lam0, cur0, jnp.int32(0), jnp.asarray(False)),
+            (Rs, ts, X[0], lam0, cur0, jnp.int32(0), jnp.asarray(False),
+             jnp.float32(0.0)),
         )
-        return Rsf, tsf, Xf[None], curf
+        return Rsf, tsf, Xf[None], curf, maxdiv
 
     sharded = shard_map(
         solve,
@@ -244,7 +282,7 @@ def make_dist_ba_solver(
             P(), P(), P("ba"), P("ba"), P("ba"), P("ba"), P("ba"),
             P(), P(), P(),
         ),
-        out_specs=(P(), P(), P("ba"), P()),
+        out_specs=(P(), P(), P("ba"), P(), P()),
     )
     return jax.jit(sharded)
 
@@ -256,19 +294,24 @@ def run_dist_ba(
     init_lambda: float = 1e-3,
     huber_delta: float = float("inf"),
     tol: float = 1e-8,
+    debug_checks: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float]:
     """LM driver over the mesh-sharded on-device solver.
 
     Returns (Rs, ts, X_global, final_cost). ONE jit call executes the
     whole LM schedule on device; the only host sync is the final
-    result fetch.
+    result fetch. With ``debug_checks`` the replicated reduced-system
+    blocks are checksummed across shards every iteration and any
+    divergence raises (SURVEY §5 race detection for multi-host runs).
     """
     use_huber = np.isfinite(huber_delta)
     C = sp.Rs.shape[0]
-    solver = make_dist_ba_solver(mesh, C, use_huber, max_iters, tol)
+    solver = make_dist_ba_solver(
+        mesh, C, use_huber, max_iters, tol, debug_checks=debug_checks
+    )
     hd = jnp.float32(huber_delta if use_huber else 1e9)
 
-    Rs, ts, X, cur = solver(
+    Rs, ts, X, cur, maxdiv = solver(
         jnp.asarray(sp.Rs),
         jnp.asarray(sp.ts),
         jnp.asarray(sp.X),
@@ -281,6 +324,15 @@ def run_dist_ba(
         hd,
     )
     cur = float(cur)
+    if debug_checks:
+        div = float(np.asarray(maxdiv).ravel()[0])
+        if div > 1e-5:
+            raise RuntimeError(
+                f"dist BA shards desynchronised: max replicated-state "
+                f"relative checksum divergence {div:.3e} (all-reduce "
+                f"rounding jitter is ~1e-7; anything larger means a "
+                f"shard is out of sync)"
+            )
 
     # scatter local points back to global order
     Xg = np.zeros((int(sp.X_map.max()) + 1, 3), np.float32)

@@ -127,3 +127,18 @@ def test_dist_ba_uneven_shards_realistic_scale():
     assert c_dist < c0 * 1e-2
     assert abs(c_dist - c_single) / max(c_single, 1e-12) < 0.5
     assert Xd.shape == X.shape and np.isfinite(Xd).all()
+
+
+def test_dist_ba_debug_checksums_clean():
+    """SURVEY §5 race detection: the replicated reduced-system blocks
+    must agree across shards (to all-reduce rounding) after the psums —
+    the debug build checksums them every LM iteration and a healthy
+    mesh must stay under the desync threshold for the whole solve."""
+    Rs, ts, X, cam_idx, pt_idx, uv = make_scene(
+        n_cams=4, n_pts=40, noise=1e-4, seed=21
+    )
+    Rp, tp, Xp = perturb_scene(Rs, ts, X, seed=22)
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("ba",))
+    sp = shard_problem(Rp, tp, Xp, cam_idx, pt_idx, uv, n_shards=8)
+    _, _, _, c = run_dist_ba(sp, mesh, max_iters=8, debug_checks=True)
+    assert np.isfinite(c)
