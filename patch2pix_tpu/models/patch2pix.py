@@ -264,11 +264,11 @@ class Patch2Pix(nn.Module):
             )
             lv1, inv1 = gather(
                 feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
-                psize, "center",
+                psize, ptype="center",
             )
             lv2, inv2 = gather(
                 feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
-                psize, "center",
+                psize, ptype="center",
             )
 
         # normalise + flatten per level; the regressor's SegmentedConv

@@ -56,18 +56,143 @@ def conv4d(
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
 
-    # Dispatch the expensive configurations to the blocked Pallas
-    # kernel on TPU backends: a lax.conv with tiny Cout pays the MXU's
-    # 128-lane output padding (~100x wasted FLOPs for the NCN's 16->1
-    # layer, 8x for the 1->16 layer — and the tap path additionally
-    # re-materialises the 16-channel volume per accumulation step);
-    # the Pallas kernel's shift-panel matmuls scale with w2*Cout.
+    # Dispatch (measured at the change_stride eval scale, see
+    # BASELINE.md): tiny-Cin layers fold the outer taps into Cin
+    # (15 -> 5.4 ms for the NCN's 1->16 layer, both symmetric branches
+    # in one call), tiny-Cout layers fold them into Cout + shift-add
+    # (30 -> ~15 ms for the 16->1 consensus layer). Both are exact
+    # reassociations and pure XLA, so they differentiate and run on
+    # every backend. The Pallas shift-panel kernel covers the remaining
+    # small-channel configurations on TPU (its w2-folded panels carry
+    # an intrinsic ~43x MXU-padding floor for cout=1, which is why the
+    # fold formulations replaced it on the hot path); everything else
+    # takes the per-tap conv accumulation.
+    if k == K_PALLAS and cin <= 2:
+        return conv4d_fold_in(x, w, b, out_dtype=out_dtype)
+    if k == K_PALLAS and cout <= 2:
+        return conv4d_fold_out(x, w, b, out_dtype=out_dtype)
     if k == K_PALLAS and cout * cin <= 16 and _tpu_backend():
         from patch2pix_tpu.ops.conv4d_pallas import conv4d_pallas
 
         return conv4d_pallas(x, w, b, out_dtype=out_dtype)
 
     out = conv4d_xla_taps(x, w, b)
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
+def _outer_shifts_all(x: jax.Array, k: int = 3):
+    """The k^2 views x[..., i+di-1, j+dj-1, ...] over the (h1, w1) axes
+    (1, 2), zero padded — ONE pad, k^2 static slices (padding per tap
+    would materialise k^2 full copies)."""
+    pad = k // 2
+    h1, w1 = x.shape[1], x.shape[2]
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad)) + ((0, 0),) * (x.ndim - 3))
+    return [
+        jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(xp, di, di + h1, axis=1),
+            dj, dj + w1, axis=2,
+        )
+        for di in range(k)
+        for dj in range(k)
+    ]
+
+
+def conv4d_fold_in(
+    x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+    out_dtype: jax.typing.DTypeLike | None = None,
+) -> jax.Array:
+    """conv4d (k=3) with the OUTER (h1, w1) taps folded into Cin.
+
+    For small Cin the natural lowerings starve the MXU: the contraction
+    depth of a 2D conv over (h2, w2) is only 9*Cin. Stacking the 9
+    outer-shifted copies of the volume as extra input channels makes
+    the whole 4D kernel ONE ordinary 2D convolution with K = 81*Cin:
+
+        out[b,i,j,k,l,co] = conv2d_{(k,l)}(xs9, W)[...]
+        xs9[b,i,j,k,l,(t,ci)] = x[b, i+di(t)-1, j+dj(t)-1, k, l, ci]
+        W[dk,dl,(t,ci),co]    = w[di(t), dj(t), dk, dl, ci, co]
+
+    Exact (same f32-accumulated contraction, reassociated). Memory: the
+    9-fold shifted stack is materialised (9x the input volume) — meant
+    for Cin=1 (the NCN's first layer), where that is 9/16 of the
+    OUTPUT's size.
+    """
+    k = w.shape[0]
+    assert k == 3, f"fold-in path is k=3 only, got {w.shape}"
+    bs, h1, w1, h2, w2, cin = x.shape
+    cout = w.shape[-1]
+    xs9 = jnp.concatenate(
+        _outer_shifts_all(x, k), axis=-1
+    )  # (B, h1, w1, h2, w2, 9*cin)
+    # W[dk, dl, (t, ci), co] = w[di(t), dj(t), dk, dl, ci, co]
+    wf = w.transpose(2, 3, 0, 1, 4, 5).reshape(k, k, k * k * cin, cout)
+    out = jax.lax.conv_general_dilated(
+        xs9.reshape(bs * h1 * w1, h2, w2, k * k * cin),
+        wf,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    ).reshape(bs, h1, w1, h2, w2, cout)
+    if b is not None:
+        out = out + b
+    return out if out_dtype is None else out.astype(out_dtype)
+
+
+def conv4d_fold_out(
+    x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+    out_dtype: jax.typing.DTypeLike | None = None,
+) -> jax.Array:
+    """conv4d (k=3) with the OUTER (h1, w1) taps folded into Cout.
+
+    For small Cout (the NCN's 16->1 consensus layer) a 2D-conv lowering
+    leaves the MXU's output lanes ~empty. Emitting the 9 outer-tap
+    contributions as output channels of ONE 2D convolution over
+    (h2, w2) raises N to 9*Cout (and keeps K = 9*Cin):
+
+        z[b,i,j,k,l,(t,co)] = conv2d_{(k,l)}(x, V)
+        V[dk,dl,ci,(t,co)]  = w[di(t), dj(t), dk, dl, ci, co]
+        out[b,i,j,...]      = sum_t z[b, i+di(t)-1, j+dj(t)-1, ..., t]
+
+    The tap-sum reads z per-channel, so z is produced FEATURE-MAJOR
+    (conv output spec "CNHW") — each z_t is a contiguous slab and the
+    9 shift-adds are pure pad/slice passes. Exact (reassociation only).
+    """
+    k = w.shape[0]
+    assert k == 3, f"fold-out path is k=3 only, got {w.shape}"
+    bs, h1, w1, h2, w2, cin = x.shape
+    cout = w.shape[-1]
+    # V[dk, dl, ci, (t, co)] = w[di(t), dj(t), dk, dl, ci, co]
+    vf = w.transpose(2, 3, 4, 0, 1, 5).reshape(k, k, cin, k * k * cout)
+    z = jax.lax.conv_general_dilated(
+        x.reshape(bs * h1 * w1, h2, w2, cin),
+        vf,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "CNHW"),
+        preferred_element_type=jnp.float32,
+    )  # (9*cout, B*h1*w1, h2, w2) feature-major
+    z = z.astype(x.dtype)  # rounding matches the bf16 pipeline's
+    # layer-output storage; the tap-sum below still accumulates in f32
+    z = z.reshape(k * k, cout, bs, h1, w1, h2, w2)
+    # one shared pad over the OUTER dims (now axes 2, 3), then k^2
+    # static slices — padding per tap would copy z k^2 times
+    pad = k // 2
+    zp = jnp.pad(
+        z, ((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0))
+    )
+    out = None
+    for t in range(k * k):
+        di, dj = t // k, t % k
+        shifted = jax.lax.slice(
+            zp,
+            (t, 0, 0, di, dj, 0, 0),
+            (t + 1, cout, bs, di + h1, dj + w1, h2, w2),
+        )[0].astype(jnp.float32)
+        out = shifted if out is None else out + shifted
+    out = jnp.moveaxis(out, 0, -1)  # (B, h1, w1, h2, w2, cout)
+    if b is not None:
+        out = out + b
     return out if out_dtype is None else out.astype(out_dtype)
 
 
