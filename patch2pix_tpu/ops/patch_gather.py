@@ -256,6 +256,140 @@ def gather_local_patches_tiled(
     return l2_normalize(hyper, axis=-1)
 
 
+def _superblock_rows(
+    fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+):
+    """Shared front half of the padded superblock gathers.
+
+    Edge-pads one psize-px ring (absorbing the reference's border clamp:
+    ``padmap[(y0p+d)//ds] == origmap[clip((y0+d)//ds, 0, h-1)]``; a
+    corner clipped at either end lands its whole window inside the
+    ring), space-to-depths into FLAT (wy, wx*C) tile rows, and gathers
+    the 2x2 superblock rows per proposal.
+
+    Returns ``(rows, iy, ix)``: rows ``(B, N, ty=2, tx=2, t, t*C)`` and
+    the within-superblock window indices ``(B, N, psize)`` in [0, 2t).
+    """
+    b, h, w, c = fmap.shape
+    t = psize // ds
+    n = y0p.shape[1]
+    fp = jnp.pad(fmap, ((0, 0), (t, t), (t, t), (0, 0)), mode="edge")
+    nty, ntx = h // t + 2, w // t + 2
+    tiles = fp.reshape(b, nty, t, ntx, t * c)
+    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(b, nty * ntx, t * t * c)
+
+    ky = y0p // psize  # in [0, nty-2] by the clip contract
+    kx = x0p // psize
+    dyx = jnp.asarray([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+    lin = ((ky[..., None] + dyx[None, None, :, 0]) * ntx
+           + (kx[..., None] + dyx[None, None, :, 1]))  # (B, N, 4)
+    rows = jnp.take_along_axis(
+        tiles, lin.reshape(b, n * 4, 1), axis=1
+    ).reshape(b, n, 2, 2, t, t * c)  # (ty, tx, wy, wx*C)
+
+    d = jnp.arange(psize)
+    # within-superblock level indices (no clipping needed: the ring
+    # covers every in-window read)
+    iy = (y0p[..., None] + d) // ds - ky[..., None] * t  # (B, N, psize)
+    ix = (x0p[..., None] + d) // ds - kx[..., None] * t
+    return rows, iy, ix
+
+
+def _gather_level_flat(
+    fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+) -> jax.Array:
+    """Superblock row-gather + FLAT-LANE expansion for one level.
+
+    fmap: (B, H, W, C) unpadded level features (stride ``ds``).
+    y0p/x0p: (B, N) patch corners in PADDED pixel coords (+psize for
+    the one-tile edge-replication ring, clipped to [0, dim+psize-1]).
+    Returns (B, N, psize, psize, C), bit-identical to the reference's
+    per-pixel ``clip((base+d)//ds, 0, dim-1)`` sampling.
+
+    Measured design (see BASELINE.md): the take-based expansion of
+    :func:`_gather_level_tiled` operates on ``(.., 2t, 2t, C)`` arrays
+    whose C-minor layout wastes lanes (42x for the 3-channel image
+    level) and needs an interleave transpose plus two chained takes.
+    This formulation instead
+
+      * keeps tile rows FLAT as (wy, wx*C) — full lanes even for C=3,
+      * slices ``tx`` to make (ty, wy) ADJACENT (pure reshape, no
+        interleave transpose), takes the psize y-rows, concatenates the
+        two tx halves on the LANE axis,
+      * extracts the x window with ONE lane-take of ``psize*C``
+        contiguous-per-cell lanes.
+
+    6.5 -> 1.8 ms for the image level at eval scale (N=768, f32).
+    """
+    b, h, w, c = fmap.shape
+    t = psize // ds
+    n = y0p.shape[1]
+    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds)
+    cols = []
+    for tx in range(2):
+        blk = rows[:, :, :, tx].reshape(b, n, 2 * t, t * c)
+        cols.append(
+            jnp.take_along_axis(blk, iy[..., None], axis=2)
+        )  # (B, N, psize, t*C)
+    wide = jnp.concatenate(cols, axis=-1)  # (B, N, psize, 2t*C)
+
+    lanes = (ix[..., None] * c + jnp.arange(c)).reshape(b, n, psize * c)
+    out = jnp.take_along_axis(wide, lanes[:, :, None, :], axis=3)
+    return out.reshape(b, n, psize, psize, c)
+
+
+def _gather_level_onehot(
+    fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+) -> jax.Array:
+    """Superblock row-gather + ONE-HOT MATMUL expansion for one level.
+
+    Same contract as :func:`_gather_level_flat` (padded corners in,
+    bit-exact reference sampling out) but the within-superblock window
+    extraction runs on the MXU: the y window is selected by a
+    ``(psize, 2t)`` one-hot matrix contracted against the (ty,wy)-major
+    rows, the x window by a second one-hot contraction over the 2t
+    superblock columns. ``Precision.HIGHEST`` keeps the pass-through
+    exact (a one-hot row has a single nonzero; bf16/f32 inputs are
+    carried unrounded — default bf16 MXU precision would round f32
+    inputs). Gathers along tiny non-lane axes degenerate on TPU for
+    fat-channel maps; these two batched matmuls replace them with MXU
+    traffic and give the regressor-facing VJP a transposed matmul
+    instead of a scatter-add. Measured at eval scale (N=768): level1
+    (C=64, ds=2) 2.47 -> 2.01 ms, level2 (C=64, ds=4) 1.07 -> 0.51,
+    level3 (C=128, ds=8) 0.81 -> 0.18; the C=3 image level stays on
+    the flat-lane path (6.6x cheaper there).
+    """
+    b, h, w, c = fmap.shape
+    t = psize // ds
+    n = y0p.shape[1]
+    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds)
+    # (ty, wy) adjacent per tx half -> (B, N, tx, 2t, t*C)
+    blk = rows.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, 2, 2 * t, t * c)
+    sy = (iy[..., None] == jnp.arange(2 * t)).astype(fmap.dtype)
+    mid = jnp.einsum(
+        "bnpk,bnxkc->bnxpc", sy, blk,
+        preferred_element_type=fmap.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (B, N, tx, psize, t*C)
+    wide = mid.transpose(0, 1, 3, 2, 4).reshape(
+        b, n, psize, 2 * t, c
+    )  # (tx, wx) merged -> global superblock column
+    sx = (ix[..., None] == jnp.arange(2 * t)).astype(fmap.dtype)
+    out = jnp.einsum(
+        "bnqk,bnpkc->bnpqc", sx, wide,
+        preferred_element_type=fmap.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out  # (B, N, psize, psize, C)
+
+
+# lane-take expansion wins only while the C-minor layout wastes lanes:
+# measured at eval scale (N=768), level-0 C=3: 6.7 -> 1.8 ms, but
+# C=64/128 levels regress 3-40x (the x lane-take degenerates into a
+# per-element lane gather). Flat is dispatched for C <= this bound.
+FLAT_GATHER_MAX_C = 16
+
+
 def _levels_inv_norm(gathered: Sequence[jax.Array], eps: float = 1e-6) -> jax.Array:
     """Per-pixel inverse hypercolumn L2 norm from UNCONCATENATED levels.
 
@@ -289,6 +423,11 @@ def gather_local_patches_tiled_levels(
     the kernel per level slice and scale by ``inv_norm`` — exactly
     ``l2_normalize(concat(levels))`` by linearity, but the wide f32
     concat tensor (0.8 GB at eval scale) is never materialised.
+
+    Per level this dispatches between two equal-output formulations
+    measured on chip: the flat-lane expansion for skinny-channel maps
+    (the C=3 image level, :func:`_gather_level_flat`) and the one-hot
+    MXU expansion otherwise (:func:`_gather_level_onehot`).
     """
     x0 = points[..., 0].astype(jnp.int32)
     y0 = points[..., 1].astype(jnp.int32)
@@ -296,14 +435,21 @@ def gather_local_patches_tiled_levels(
         x0 = x0 - psize // 2
         y0 = y0 - psize // 2
 
+    h_im, w_im = feats[0].shape[1], feats[0].shape[2]
+    x0p = jnp.clip(x0 + psize, 0, w_im + psize - 1)
+    y0p = jnp.clip(y0 + psize, 0, h_im + psize - 1)
+
     level_ds = _level_downsamples(feat_idx, feats_downsample)
     gathered = []
     for j, fmap in enumerate(feats):
         if j not in feat_idx:
             continue
-        gathered.append(
-            _gather_level_tiled(fmap, y0, x0, psize, level_ds[j], psize)
+        kernel = (
+            _gather_level_flat
+            if fmap.shape[-1] <= FLAT_GATHER_MAX_C
+            else _gather_level_onehot
         )
+        gathered.append(kernel(fmap, y0p, x0p, psize, level_ds[j]))
     return tuple(gathered), _levels_inv_norm(gathered)
 
 

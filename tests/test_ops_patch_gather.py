@@ -102,3 +102,34 @@ def test_gather_tiled_equals_block_gather(rng):
         got = np.asarray(gather_local_patches_tiled(*args))
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
+
+def test_gather_levels_hybrid_equals_block_gather(rng):
+    """The per-level hybrid (flat-lane expansion for skinny channels,
+    one-hot MXU expansion otherwise) x inv_norm == the concat+l2norm
+    gather, including borders and out-of-image points."""
+    from patch2pix_tpu.ops.patch_gather import (
+        gather_local_patches_tiled_levels,
+    )
+
+    h, w = 64, 96
+    dims = [3, 64, 16, 128]
+    for feats_downsample in ([1, 2, 2, 2], [1, 2, 2, 1]):
+        feats = []
+        ds = 1
+        for j, c in enumerate(dims):
+            ds = ds * feats_downsample[j] if j > 0 else 1
+            feats.append(
+                rng.standard_normal((2, h // ds, w // ds, c)).astype(np.float32)
+            )
+        pts = np.stack(
+            [rng.integers(0, w, (2, 48)), rng.integers(0, h, (2, 48))], axis=-1
+        ).astype(np.float32)
+        pts[:, :12] = [[0, 0], [w - 1, h - 1], [0, h - 1], [w - 1, 0],
+                       [3, 60], [95, 2], [17, 0], [0, 33],
+                       [-5, 10], [w + 9, h + 30], [-40, -40], [10, h + 2]]
+        args = ([jnp.asarray(f) for f in feats], jnp.asarray(pts),
+                [0, 1, 2, 3], feats_downsample, 16, "center")
+        want = np.asarray(gather_local_patches(*args))
+        lv, inv = gather_local_patches_tiled_levels(*args)
+        got = np.asarray(jnp.concatenate(lv, -1).astype(jnp.float32) * inv)
+        np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)

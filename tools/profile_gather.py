@@ -79,8 +79,10 @@ def main():
     )
 
     from patch2pix_tpu.ops.patch_gather import (
+        _gather_level_flat,
         _gather_level_tiled,
         gather_local_patches_tiled,
+        gather_local_patches_tiled_levels,
     )
 
     x0 = pts[..., 0].astype(jnp.int32) - psize // 2
@@ -97,6 +99,72 @@ def main():
 
     t = marginal(loopify(full), pts)
     print(f"{'full gather+l2norm':28s} {t * 1e3:8.2f} ms")
+
+    def full_hybrid(p, i):
+        lv, inv = gather_local_patches_tiled_levels(
+            feats, p, (0, 1, 2, 3), (1, 2, 2, 2, 2), psize
+        )
+        return sum(
+            jnp.sum((l.astype(jnp.float32) * inv)) for l in lv
+        ) * 1e-9
+
+    t = marginal(loopify(full_hybrid), pts)
+    print(f"{'full HYBRID levels gather':28s} {t * 1e3:8.2f} ms")
+
+    x0p = jnp.clip(x0 + psize, 0, W + psize - 1)
+    y0p = jnp.clip(y0 + psize, 0, H + psize - 1)
+    for li, (fmap, (_, _, ds)) in enumerate(zip(feats, levels)):
+        def level_flat(fm, i, ds=ds):
+            out = _gather_level_flat(fm, y0p, x0p, psize, ds)
+            return jnp.sum(out.astype(jnp.float32)) * 1e-9
+
+        t = marginal(loopify(level_flat), fmap)
+        print(f"{'level %d (ds=%d) FLAT' % (li, ds):28s} {t * 1e3:8.2f} ms")
+
+    # experimental: one-hot selection-matmul expansion (MXU instead of
+    # chained takes) for the fat-channel levels
+    def level_onehot(fm, i, ds):
+        b, h, w, c = fm.shape
+        t_ = psize // ds
+        fp = jnp.pad(fm, ((0, 0), (t_, t_), (t_, t_), (0, 0)), mode="edge")
+        nty, ntx = h // t_ + 2, w // t_ + 2
+        tiles = fp.reshape(b, nty, t_, ntx, t_ * c)
+        tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(
+            b, nty * ntx, t_ * t_ * c
+        )
+        ky = y0p // psize
+        kx = x0p // psize
+        dyx = jnp.asarray([[0, 0], [0, 1], [1, 0], [1, 1]], jnp.int32)
+        lin = ((ky[..., None] + dyx[None, None, :, 0]) * ntx
+               + (kx[..., None] + dyx[None, None, :, 1]))
+        rows = jnp.take_along_axis(
+            tiles, lin.reshape(b, n * 4, 1), axis=1
+        ).reshape(b, n, 2, 2, t_, t_ * c)
+        # (ty, wy) adjacent per tx half: (B, N, 2tx, 2t*t*c grouped)
+        blk = rows.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, n, 2, 2 * t_, t_ * c
+        )
+        iy = (y0p[..., None] + jnp.arange(psize)) // ds - ky[..., None] * t_
+        ix = (x0p[..., None] + jnp.arange(psize)) // ds - kx[..., None] * t_
+        sy = (iy[..., None] == jnp.arange(2 * t_)).astype(fm.dtype)
+        # y-select: (B, N, p, 2t) @ (B, N, 2, 2t, t*c) -> (B, N, 2, p, t*c)
+        mid = jnp.einsum("bnpk,bnxkc->bnxpc", sy, blk,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        wide = mid.transpose(0, 1, 3, 2, 4).reshape(
+            b, n, psize, 2, t_, c
+        ).reshape(b, n, psize, 2 * t_, c)
+        sx = (ix[..., None] == jnp.arange(2 * t_)).astype(jnp.float32)
+        out = jnp.einsum("bnqk,bnpkc->bnpqc", sx, wide,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(out) * 1e-9
+
+    for li, (fmap, (_, _, ds)) in enumerate(zip(feats, levels)):
+        if fmap.shape[-1] <= 16:
+            continue
+        t = marginal(loopify(functools.partial(level_onehot, ds=ds)), fmap)
+        print(f"{'level %d (ds=%d) ONEHOT' % (li, ds):28s} {t * 1e3:8.2f} ms")
 
     for li, (fmap, (_, _, ds)) in enumerate(zip(feats, levels)):
         def level(fm, i, ds=ds):
