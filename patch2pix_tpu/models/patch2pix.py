@@ -64,6 +64,7 @@ from patch2pix_tpu.ops.patch_gather import (
     gather_local_patches_grid_levels,
     gather_local_patches_levels,
     gather_local_patches_tiled_levels,
+    make_padded_tiles_levels,
 )
 
 
@@ -219,6 +220,27 @@ class Patch2Pix(nn.Module):
 
     # ---------------- fine stage ----------------
 
+    def _shared_tiles(self, feats1, feats2):
+        """Pre-built padded tile rows shared by every regression stage
+        on this pyramid pair (None when the tiled gather does not apply
+        or the stages use different patch sizes)."""
+        cfg = self.config
+        r = cfg.regressor
+        psize = r.psize[1]
+        if (
+            r.psize[0] != r.psize[1]
+            or cfg.gather == "block"
+            or not (_tileable(feats1, psize) and _tileable(feats2, psize))
+        ):
+            return None, None
+        t1 = make_padded_tiles_levels(
+            feats1, cfg.feat_idx, cfg.feats_downsample, psize
+        )
+        t2 = make_padded_tiles_levels(
+            feats2, cfg.feat_idx, cfg.feats_downsample, psize
+        )
+        return t1, t2
+
     def fine_match(
         self,
         feats1,
@@ -227,6 +249,8 @@ class Patch2Pix(nn.Module):
         stage: str,
         train: bool = False,
         grid_aligned: bool = False,
+        tiles1=None,
+        tiles2=None,
     ) -> Tuple[jax.Array, jax.Array]:
         """One regression stage over every proposal.
 
@@ -234,6 +258,10 @@ class Patch2Pix(nn.Module):
         ``grid_aligned=True`` asserts every coord is a coarse-cell
         centre (``g*psize + psize//2``) and takes the cheap
         space-to-depth gather path — exactly equal output.
+        ``tiles1``/``tiles2``: optional pre-built padded tile rows
+        (``make_padded_tiles_levels``) — the expensive pad+space-to-
+        depth half of the superblock gather, hoisted so the mid and
+        fine stages share one build per image.
         """
         cfg = self.config
         r = cfg.regressor
@@ -262,23 +290,30 @@ class Patch2Pix(nn.Module):
                 and cfg.gather != "block"
                 else gather_local_patches_levels
             )
+            tiled = gather is gather_local_patches_tiled_levels
             lv1, inv1 = gather(
                 feats1, coords[..., 0:2], cfg.feat_idx, cfg.feats_downsample,
                 psize, ptype="center",
+                **({"tiles": tiles1} if tiled and tiles1 is not None else {}),
             )
             lv2, inv2 = gather(
                 feats2, coords[..., 2:4], cfg.feat_idx, cfg.feats_downsample,
                 psize, ptype="center",
+                **({"tiles": tiles2} if tiled and tiles2 is not None else {}),
             )
 
         # normalise + flatten per level; the regressor's SegmentedConv
         # contracts each level against its kernel slice, so the wide
-        # hypercolumn concat never materialises
+        # hypercolumn concat never materialises. In bf16 configs the
+        # normalizer multiply runs natively in bf16 (one elementwise
+        # pass; the f32-upcast round-trip was ~6 ms/iter of pure
+        # conversion traffic at change_stride eval scale)
         dtype = cfg.compute_dtype
 
         def scaled(levels, inv):
+            invc = inv if dtype == jnp.float32 else inv.astype(dtype)
             return tuple(
-                (lv.astype(jnp.float32) * inv).astype(dtype).reshape(
+                (lv.astype(dtype) * invc).reshape(
                     b * n, psize, psize, lv.shape[-1]
                 )
                 for lv in levels
@@ -321,11 +356,14 @@ class Patch2Pix(nn.Module):
         fine_match_ckpt = nn.remat(
             Patch2Pix.fine_match, static_argnums=(4, 5, 6)
         )
+        tiles1, tiles2 = self._shared_tiles(feats1, feats2)
         mid_matches, mid_probs = fine_match_ckpt(
-            self, feats1, feats2, anchors, "mid", train, False
+            self, feats1, feats2, anchors, "mid", train, False,
+            tiles1, tiles2,
         )
         fine_matches, fine_probs = fine_match_ckpt(
-            self, feats1, feats2, mid_matches, "fine", train, False
+            self, feats1, feats2, mid_matches, "fine", train, False,
+            tiles1, tiles2,
         )
         return {
             "coarse": anchors,
@@ -400,10 +438,14 @@ class Patch2Pix(nn.Module):
         # and the cheap space-to-depth gather applies (bit-identical)
         r = self.config.regressor
         aligned = self.config.upsample == r.psize[0]
+        tiles1, tiles2 = self._shared_tiles(feats1, feats2)
         mid_matches, mid_probs = self.fine_match(
-            feats1, feats2, cm.coords, "mid", grid_aligned=aligned
+            feats1, feats2, cm.coords, "mid", grid_aligned=aligned,
+            tiles1=tiles1, tiles2=tiles2,
         )
-        fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
+        fine_matches, fine_probs = self.fine_match(
+            feats1, feats2, mid_matches, "fine", tiles1=tiles1, tiles2=tiles2
+        )
         return (
             Matches(fine_matches, fine_probs, cm.valid),
             Matches(mid_matches, mid_probs, cm.valid),
@@ -421,6 +463,11 @@ class Patch2Pix(nn.Module):
         """
         feats1 = self.extract_pyramid(im1, train=False)
         feats2 = self.extract_pyramid(im2, train=False)
-        mid_matches, mid_probs = self.fine_match(feats1, feats2, coords, "mid")
-        fine_matches, fine_probs = self.fine_match(feats1, feats2, mid_matches, "fine")
+        tiles1, tiles2 = self._shared_tiles(feats1, feats2)
+        mid_matches, mid_probs = self.fine_match(
+            feats1, feats2, coords, "mid", tiles1=tiles1, tiles2=tiles2
+        )
+        fine_matches, fine_probs = self.fine_match(
+            feats1, feats2, mid_matches, "fine", tiles1=tiles1, tiles2=tiles2
+        )
         return fine_matches, fine_probs, mid_matches, mid_probs

@@ -256,16 +256,38 @@ def gather_local_patches_tiled(
     return l2_normalize(hyper, axis=-1)
 
 
-def _superblock_rows(
-    fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
-):
-    """Shared front half of the padded superblock gathers.
+def make_padded_tiles(fmap: jax.Array, psize: int, ds: int) -> jax.Array:
+    """Padded flat tile rows for the superblock gathers of one level.
 
     Edge-pads one psize-px ring (absorbing the reference's border clamp:
     ``padmap[(y0p+d)//ds] == origmap[clip((y0+d)//ds, 0, h-1)]``; a
     corner clipped at either end lands its whole window inside the
-    ring), space-to-depths into FLAT (wy, wx*C) tile rows, and gathers
-    the 2x2 superblock rows per proposal.
+    ring) and space-to-depths into FLAT (wy, wx*C) tile rows:
+    ``(B, nty*ntx, t*t*C)`` with t = psize//ds, nty/ntx = dim//t + 2.
+
+    This is the expensive data-movement half of the gather (a full
+    pad copy + tiling transpose of the feature map); hoist it out of
+    per-stage calls — the mid and fine stages (and both train stages)
+    gather from the SAME pyramid, so the tiles are built once per
+    image and reused (pass via ``tiles=`` to the gather entry points).
+    """
+    b, h, w, c = fmap.shape
+    t = psize // ds
+    fp = jnp.pad(fmap, ((0, 0), (t, t), (t, t), (0, 0)), mode="edge")
+    nty, ntx = h // t + 2, w // t + 2
+    tiles = fp.reshape(b, nty, t, ntx, t * c)
+    return tiles.transpose(0, 1, 3, 2, 4).reshape(b, nty * ntx, t * t * c)
+
+
+def _superblock_rows(
+    fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+    tiles: jax.Array | None = None,
+):
+    """Shared front half of the padded superblock gathers.
+
+    Gathers the 2x2 superblock of flat (wy, wx*C) tile rows per
+    proposal from :func:`make_padded_tiles` (built here when not
+    supplied pre-computed).
 
     Returns ``(rows, iy, ix)``: rows ``(B, N, ty=2, tx=2, t, t*C)`` and
     the within-superblock window indices ``(B, N, psize)`` in [0, 2t).
@@ -273,10 +295,9 @@ def _superblock_rows(
     b, h, w, c = fmap.shape
     t = psize // ds
     n = y0p.shape[1]
-    fp = jnp.pad(fmap, ((0, 0), (t, t), (t, t), (0, 0)), mode="edge")
-    nty, ntx = h // t + 2, w // t + 2
-    tiles = fp.reshape(b, nty, t, ntx, t * c)
-    tiles = tiles.transpose(0, 1, 3, 2, 4).reshape(b, nty * ntx, t * t * c)
+    if tiles is None:
+        tiles = make_padded_tiles(fmap, psize, ds)
+    ntx = w // t + 2
 
     ky = y0p // psize  # in [0, nty-2] by the clip contract
     kx = x0p // psize
@@ -297,6 +318,7 @@ def _superblock_rows(
 
 def _gather_level_flat(
     fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+    tiles: jax.Array | None = None,
 ) -> jax.Array:
     """Superblock row-gather + FLAT-LANE expansion for one level.
 
@@ -324,7 +346,7 @@ def _gather_level_flat(
     b, h, w, c = fmap.shape
     t = psize // ds
     n = y0p.shape[1]
-    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds)
+    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds, tiles)
     cols = []
     for tx in range(2):
         blk = rows[:, :, :, tx].reshape(b, n, 2 * t, t * c)
@@ -340,6 +362,7 @@ def _gather_level_flat(
 
 def _gather_level_onehot(
     fmap: jax.Array, y0p: jax.Array, x0p: jax.Array, psize: int, ds: int,
+    tiles: jax.Array | None = None,
 ) -> jax.Array:
     """Superblock row-gather + ONE-HOT MATMUL expansion for one level.
 
@@ -362,7 +385,7 @@ def _gather_level_onehot(
     b, h, w, c = fmap.shape
     t = psize // ds
     n = y0p.shape[1]
-    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds)
+    rows, iy, ix = _superblock_rows(fmap, y0p, x0p, psize, ds, tiles)
     # (ty, wy) adjacent per tx half -> (B, N, tx, 2t, t*C)
     blk = rows.transpose(0, 1, 3, 2, 4, 5).reshape(b, n, 2, 2 * t, t * c)
     sy = (iy[..., None] == jnp.arange(2 * t)).astype(fmap.dtype)
@@ -405,6 +428,23 @@ def _levels_inv_norm(gathered: Sequence[jax.Array], eps: float = 1e-6) -> jax.Ar
     return jax.lax.rsqrt(sq + eps)
 
 
+def make_padded_tiles_levels(
+    feats: Sequence[jax.Array],
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+) -> Tuple[jax.Array, ...]:
+    """:func:`make_padded_tiles` for every gathered pyramid level, in
+    ``feat_idx`` order — build once per image, pass to every
+    :func:`gather_local_patches_tiled_levels` call on that pyramid."""
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    return tuple(
+        make_padded_tiles(fmap, psize, level_ds[j])
+        for j, fmap in enumerate(feats)
+        if j in feat_idx
+    )
+
+
 def gather_local_patches_tiled_levels(
     feats: Sequence[jax.Array],
     points: jax.Array,
@@ -412,6 +452,7 @@ def gather_local_patches_tiled_levels(
     feats_downsample: Sequence[int],
     psize: int,
     ptype: str = "center",
+    tiles: Sequence[jax.Array] | None = None,
 ) -> Tuple[Tuple[jax.Array, ...], jax.Array]:
     """:func:`gather_local_patches_tiled` without the concat+normalize.
 
@@ -441,6 +482,7 @@ def gather_local_patches_tiled_levels(
 
     level_ds = _level_downsamples(feat_idx, feats_downsample)
     gathered = []
+    li = 0
     for j, fmap in enumerate(feats):
         if j not in feat_idx:
             continue
@@ -449,7 +491,9 @@ def gather_local_patches_tiled_levels(
             if fmap.shape[-1] <= FLAT_GATHER_MAX_C
             else _gather_level_onehot
         )
-        gathered.append(kernel(fmap, y0p, x0p, psize, level_ds[j]))
+        lt = tiles[li] if tiles is not None else None
+        gathered.append(kernel(fmap, y0p, x0p, psize, level_ds[j], lt))
+        li += 1
     return tuple(gathered), _levels_inv_norm(gathered)
 
 

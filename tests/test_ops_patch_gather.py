@@ -133,3 +133,15 @@ def test_gather_levels_hybrid_equals_block_gather(rng):
         lv, inv = gather_local_patches_tiled_levels(*args)
         got = np.asarray(jnp.concatenate(lv, -1).astype(jnp.float32) * inv)
         np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-7)
+
+        # pre-built padded tiles (the hoisted shared-stage path) must be
+        # bit-identical to the build-inside path
+        from patch2pix_tpu.ops.patch_gather import make_padded_tiles_levels
+
+        tiles = make_padded_tiles_levels(
+            args[0], [0, 1, 2, 3], feats_downsample, 16
+        )
+        lv2, inv2 = gather_local_patches_tiled_levels(*args, tiles=tiles)
+        for a, b in zip(lv, lv2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(inv), np.asarray(inv2))
