@@ -406,11 +406,14 @@ def _gather_level_onehot(
     return out  # (B, N, psize, psize, C)
 
 
-# lane-take expansion wins only while the C-minor layout wastes lanes:
-# measured at eval scale (N=768), level-0 C=3: 6.7 -> 1.8 ms, but
-# C=64/128 levels regress 3-40x (the x lane-take degenerates into a
-# per-element lane gather). Flat is dispatched for C <= this bound.
-FLAT_GATHER_MAX_C = 16
+# The one-hot MXU expansion beats the flat lane-take expansion on
+# EVERY pyramid level once measured head-to-head (eval scale, N=768:
+# level0 C=3 1.83 -> 1.20 ms, level1 C=64 15.5 -> 1.98, level2 0.31,
+# level3 0.21), so the dispatch bound is vestigial: levels gather uses
+# one-hot throughout. The flat expansion is kept for reference and
+# regression tests (it was the first formulation to fix level-0's
+# 42x lane waste, 6.7 -> 1.8 ms).
+FLAT_GATHER_MAX_C = 0
 
 
 def _levels_inv_norm(gathered: Sequence[jax.Array], eps: float = 1e-6) -> jax.Array:

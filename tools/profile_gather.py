@@ -166,6 +166,23 @@ def main():
         t = marginal(loopify(functools.partial(level_onehot, ds=ds)), fmap)
         print(f"{'level %d (ds=%d) ONEHOT' % (li, ds):28s} {t * 1e3:8.2f} ms")
 
+    # level-0 candidates: one-hot on the skinny image level, and the
+    # flat expansion on a pre-cast bf16 image
+    t = marginal(loopify(functools.partial(level_onehot, ds=1)), feats[0])
+    print(f"{'level 0 (ds=1) ONEHOT f32':28s} {t * 1e3:8.2f} ms")
+    t = marginal(
+        loopify(functools.partial(level_onehot, ds=1)),
+        feats[0].astype(jnp.bfloat16),
+    )
+    print(f"{'level 0 (ds=1) ONEHOT bf16':28s} {t * 1e3:8.2f} ms")
+    t = marginal(
+        loopify(lambda fm, i: jnp.sum(
+            _gather_level_flat(fm, y0p, x0p, psize, 1).astype(jnp.float32)
+        ) * 1e-9),
+        feats[0].astype(jnp.bfloat16),
+    )
+    print(f"{'level 0 (ds=1) FLAT bf16':28s} {t * 1e3:8.2f} ms")
+
     for li, (fmap, (_, _, ds)) in enumerate(zip(feats, levels)):
         def level(fm, i, ds=ds):
             out = _gather_level_tiled(fm, y0, x0, psize, ds, psize)

@@ -101,8 +101,10 @@ def main():
     from patch2pix_tpu.ops.conv4d import conv4d_fold_out
 
     def lib(xx, i):
-        return jnp.sum(conv4d_fold_out(xx, w, b, out_dtype=jnp.bfloat16)
-                       .astype(jnp.float32)) * 1e-9
+        return jnp.sum(
+            conv4d_fold_out(xx, w.astype(xx.dtype), b, out_dtype=jnp.bfloat16)
+            .astype(jnp.float32)
+        ) * 1e-9
 
     t = marginal(loopify(lib), x)
     print(f"{'library fold_out (CNHW)':30s} {t * 1e3:8.2f} ms")
