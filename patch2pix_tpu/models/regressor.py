@@ -59,6 +59,13 @@ class SegmentedConv(nn.Module):
             "kernel", nn.initializers.lecun_normal(),
             (k, k, cin, self.features),
         )
+        # preferred_element_type=f32 with bf16 operands makes the conv
+        # TRANSPOSE (backward) mix an f32 cotangent with the bf16
+        # kernel, which lax.conv rejects — so in low-precision configs
+        # each segment conv emits its operand dtype (the MXU still
+        # accumulates its own contraction in f32 internally) and the
+        # cross-segment sum upcasts explicitly
+        preferred = jnp.float32 if self.dtype == jnp.float32 else None
         off = 0
         acc = None
         for x in xs:
@@ -69,8 +76,8 @@ class SegmentedConv(nn.Module):
                 window_strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
+                preferred_element_type=preferred,
+            ).astype(jnp.float32)
             acc = y if acc is None else acc + y
             off += c
         return acc.astype(self.dtype)

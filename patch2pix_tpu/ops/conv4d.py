@@ -132,8 +132,15 @@ def conv4d_fold_in(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        # f32 output from bf16 operands breaks the conv TRANSPOSE
+        # (mixed-dtype cotangent); low-precision configs emit the
+        # operand dtype — the MXU still accumulates the K=81*cin
+        # contraction in f32 internally
+        preferred_element_type=(
+            jnp.float32 if x.dtype == jnp.float32 else None
+        ),
     ).reshape(bs, h1, w1, h2, w2, cout)
+    out = out.astype(jnp.float32)
     if b is not None:
         out = out + b
     return out if out_dtype is None else out.astype(out_dtype)
@@ -170,7 +177,12 @@ def conv4d_fold_out(
         window_strides=(1, 1),
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "CNHW"),
-        preferred_element_type=jnp.float32,
+        # operand dtype out in low-precision configs: f32 output from
+        # bf16 operands breaks the conv transpose (mixed-dtype
+        # cotangent), and z was rounded to x.dtype right after anyway
+        preferred_element_type=(
+            jnp.float32 if x.dtype == jnp.float32 else None
+        ),
     )  # (9*cout, B*h1*w1, h2, w2) feature-major
     z = z.astype(x.dtype)  # rounding matches the bf16 pipeline's
     # layer-output storage; the tap-sum below still accumulates in f32
@@ -218,8 +230,13 @@ def conv4d_xla_taps(
                 window_strides=(1, 1),
                 padding="SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32,
-            )
+                # see conv4d_fold_in: operand-dtype output keeps the
+                # conv transpose single-dtype; the cross-tap sum
+                # upcasts explicitly
+                preferred_element_type=(
+                    jnp.float32 if xs.dtype == jnp.float32 else None
+                ),
+            ).astype(jnp.float32)
             out = y if out is None else out + y
     out = out.reshape(bs, h1, w1, h2, w2, cout)
     if b is not None:

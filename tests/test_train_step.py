@@ -92,6 +92,23 @@ def test_train_step_updates_only_trainable(state_and_model):
     assert int(new_state.step) == 1
 
 
+def test_train_step_bf16_compute():
+    """The bf16 compute path must differentiate end-to-end: conv
+    preferred_element_type=f32 over bf16 operands used to produce an
+    f32 cotangent the conv TRANSPOSE rejected (mixed-dtype conv) —
+    a latent break of the deployed low-precision training config."""
+    model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
+    optim_cfg = OptimConfig(lr_init=1e-3)
+    state = create_train_state(
+        jax.random.PRNGKey(0), model, optim_cfg, image_shape=(1, 64, 64, 3)
+    )
+    tx = make_optimizer(optim_cfg, state.params)
+    step = jax.jit(make_train_step(model, tx, ksize=2, ptmax=8))
+    new_state, metrics = step(state, make_batch(2), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss/pair"]))
+    assert int(new_state.step) == 1
+
+
 def test_sharded_train_step_8_devices(state_and_model):
     state, model, tx = state_and_model
     from jax.sharding import Mesh

@@ -58,11 +58,11 @@ def loopify(body_fn):
 
 
 def conv(x, k, stride=2):
+    # mirrors SegmentedConv: operand-dtype output, explicit f32 upcast
     return jax.lax.conv_general_dilated(
         x, k, window_strides=(stride, stride), padding=[(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def main():

@@ -80,7 +80,11 @@ def main():
             im1, im2, ksize=2, method=model.predict_fine,
         )
         d = sampson_dist_batched(fine.coords, F)
-        v = fine.valid.astype(jnp.float32)
+        # confidence-gated like the reference's io_thres filter
+        # (model_helper.py:97-105), keep-all fallback per pair
+        conf = fine.valid & (fine.scores > 0.5)
+        any_conf = jnp.any(conf, axis=1, keepdims=True)
+        v = jnp.where(any_conf, conf, fine.valid).astype(jnp.float32)
         # median-ish robust mean: clip at 50 px so misses don't swamp it
         return jnp.sum(jnp.minimum(d, 50.0) * v) / jnp.maximum(jnp.sum(v), 1.0)
 
