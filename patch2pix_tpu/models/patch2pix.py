@@ -30,6 +30,7 @@ Behavioural quirks preserved (accuracy-relevant, see SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -64,6 +65,7 @@ from patch2pix_tpu.ops.patch_gather import (
     gather_local_patches_grid_levels,
     gather_local_patches_levels,
     gather_local_patches_tiled_levels,
+    gather_scaled_patch_pairs_fused,
     make_padded_tiles_levels,
 )
 
@@ -73,6 +75,17 @@ def _tileable(feats, psize: int) -> bool:
     row-gather (input dims multiples of psize and >= 2*psize)."""
     h, w = feats[0].shape[1], feats[0].shape[2]
     return h % psize == 0 and w % psize == 0 and h >= 2 * psize and w >= 2 * psize
+
+
+# proposal-count crossover for the fused VMEM-resident expansion kernel
+# (measured on v5e, 1024x768 B=2: fine stage M=1536 at upsample-16 is
+# faster unfused [50.4 vs 45.0 pairs/s], the change_stride stages at
+# M=2400 faster fused [23.1 vs 21.7]); P2P_FUSED_MIN_M overrides
+FUSED_GATHER_MIN_M = int(os.environ.get("P2P_FUSED_MIN_M", "2048"))
+
+
+def _use_fused_gather(m: int) -> bool:
+    return _tpu_backend() and m >= FUSED_GATHER_MIN_M
 
 
 def shift_to_anchors(coords: jax.Array, pshift: int, panc: int) -> jax.Array:
@@ -279,6 +292,28 @@ class Patch2Pix(nn.Module):
             lv2, inv2 = gather_local_patches_grid_levels(
                 feats2, coords[..., 2:4], cfg.feat_idx,
                 cfg.feats_downsample, psize,
+            )
+        elif (
+            r.feat_comb == "pre"
+            and cfg.gather != "block"
+            and _tileable(feats1, psize) and _tileable(feats2, psize)
+            and _use_fused_gather(b * n)
+        ):
+            # fused gather -> expand -> normalise -> scale (Pallas on
+            # TPU, identical-math XLA elsewhere): the expansion
+            # intermediates never round-trip HBM and the C=64 levels
+            # come out channel-paired so the regressor's first conv
+            # runs fewer, fatter contractions
+            patches, smap = gather_scaled_patch_pairs_fused(
+                feats1, feats2, coords, cfg.feat_idx,
+                cfg.feats_downsample, psize, cfg.compute_dtype,
+                tiles1=tiles1, tiles2=tiles2,
+            )
+            out = regressor(
+                patches, None, train=train, slice_map=smap
+            ).reshape(b, n, 5)
+            return parse_regressor_out(
+                out, coords, psize, "center", (w1, h1, w2, h2)
             )
         else:
             # contiguous row-gather superblocks when the snapped sizes

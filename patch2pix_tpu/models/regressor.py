@@ -51,9 +51,25 @@ class SegmentedConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xs: Patches) -> jax.Array:
+    def __call__(self, xs: Patches, slice_map=None) -> jax.Array:
+        """``slice_map``: optional per-input list of (offset, size)
+        kernel channel slices whose concat matches that input's channel
+        layout. Default: inputs cover the kernel channels sequentially.
+        The channel-PAIRED gather (ops/patch_expand_pallas.py) passes
+        ``[(off_l, C_l), (D + off_l, C_l)]`` per level so both images'
+        kernel slices contract in ONE conv call — fewer, fatter convs
+        (95 -> 111 TF/s measured on the stride-2 conv,
+        tools/profile_conv0.py)."""
         xs = _as_tuple(xs)
-        cin = sum(x.shape[-1] for x in xs)
+        if slice_map is None:
+            cin = sum(x.shape[-1] for x in xs)
+            off = 0
+            slice_map = []
+            for x in xs:
+                slice_map.append(((off, x.shape[-1]),))
+                off += x.shape[-1]
+        else:
+            cin = sum(s for sl in slice_map for _, s in sl)
         k = self.kernel_size
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
@@ -66,20 +82,20 @@ class SegmentedConv(nn.Module):
         # accumulates its own contraction in f32 internally) and the
         # cross-segment sum upcasts explicitly
         preferred = jnp.float32 if self.dtype == jnp.float32 else None
-        off = 0
         acc = None
-        for x in xs:
-            c = x.shape[-1]
+        for x, sl in zip(xs, slice_map):
+            ks = jnp.concatenate(
+                [kernel[:, :, o : o + s, :] for o, s in sl], axis=2
+            ) if len(sl) > 1 else kernel[:, :, sl[0][0] : sl[0][0] + sl[0][1], :]
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
-                kernel[:, :, off : off + c, :].astype(self.dtype),
+                ks.astype(self.dtype),
                 window_strides=(self.stride, self.stride),
                 padding=[(1, 1), (1, 1)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=preferred,
             ).astype(jnp.float32)
             acc = y if acc is None else acc + y
-            off += c
         return acc.astype(self.dtype)
 
 
@@ -101,7 +117,14 @@ class FeatRegressNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f1: Patches, f2: Patches, train: bool = False) -> jax.Array:
+    def __call__(
+        self, f1: Patches, f2: Patches | None = None, train: bool = False,
+        slice_map=None,
+    ) -> jax.Array:
+        """``f2=None`` marks ``f1`` as the fused-gather layout: a flat
+        tuple of patch tensors whose kernel-channel slices are given by
+        ``slice_map`` (ops/patch_gather.gather_scaled_patch_pairs_fused
+        returns both); 'pre' feat_comb only."""
         convs = []
         for i, (dim, k, s) in enumerate(
             zip(self.conv_dims, self.conv_kers, self.conv_strs)
@@ -122,17 +145,22 @@ class FeatRegressNet(nn.Module):
                 )
             )
 
-        def conv_stack(x):
+        def conv_stack(x, slice_map=None):
             # the reference closes the stack with ReLU + MaxPool(kernel=w)
             # to 1x1; at that point the spatial extent equals w, so it is
             # a global spatial max
+            first = True
             for conv, bn in convs:
-                x = bn(conv(x))
+                x = bn(conv(x, slice_map) if first else conv(x))
+                first = False
             x = nn.relu(x)
             return jnp.max(x, axis=(1, 2))
 
         if self.feat_comb == "pre":
-            feat = conv_stack(_as_tuple(f1) + _as_tuple(f2))
+            if f2 is None:  # fused-gather layout with explicit slices
+                feat = conv_stack(_as_tuple(f1), list(slice_map))
+            else:
+                feat = conv_stack(_as_tuple(f1) + _as_tuple(f2))
         else:
             # 'post': shared conv stack applied to each image's patches
             feat = jnp.concatenate([conv_stack(f1), conv_stack(f2)], axis=-1)

@@ -23,6 +23,7 @@ gather-efficient:
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -498,6 +499,113 @@ def gather_local_patches_tiled_levels(
         gathered.append(kernel(fmap, y0p, x0p, psize, level_ds[j], lt))
         li += 1
     return tuple(gathered), _levels_inv_norm(gathered)
+
+
+def _superblock_rows_flat(
+    feats, x0, y0, feat_idx, feats_downsample, psize, tiles
+):
+    """Padded corners + flat per-level superblock rows for one side.
+
+    Returns ``(y0p, x0p, rows_list, ds_list)`` with rows_list[l] of
+    shape ``(B*N, 4, t_l, t_l*C_l)``.
+    """
+    b, n = x0.shape
+    h_im, w_im = feats[0].shape[1], feats[0].shape[2]
+    x0p = jnp.clip(x0 + psize, 0, w_im + psize - 1)
+    y0p = jnp.clip(y0 + psize, 0, h_im + psize - 1)
+
+    level_ds = _level_downsamples(feat_idx, feats_downsample)
+    rows_list = []
+    ds_list = []
+    li = 0
+    for j, fmap in enumerate(feats):
+        if j not in feat_idx:
+            continue
+        ds = level_ds[j]
+        t = psize // ds
+        c = fmap.shape[-1]
+        lt = tiles[li] if tiles is not None else None
+        rows, _, _ = _superblock_rows(fmap, y0p, x0p, psize, ds, lt)
+        rows_list.append(rows.reshape(b * n, 4, t, t * c))
+        ds_list.append(ds)
+        li += 1
+    return y0p.reshape(-1), x0p.reshape(-1), rows_list, ds_list
+
+
+def gather_scaled_patch_pairs_fused(
+    feats1: Sequence[jax.Array],
+    feats2: Sequence[jax.Array],
+    coords: jax.Array,
+    feat_idx: Sequence[int],
+    feats_downsample: Sequence[int],
+    psize: int,
+    out_dtype,
+    ptype: str = "center",
+    tiles1: Sequence[jax.Array] | None = None,
+    tiles2: Sequence[jax.Array] | None = None,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> Tuple[Tuple[jax.Array, ...], Tuple[Tuple[Tuple[int, int], ...], ...]]:
+    """Two-sided superblock gather + fused Pallas expansion/normalise/
+    scale (ops/patch_expand_pallas.py).
+
+    ``coords``: (B, N, 4) match endpoints (x1, y1, x2, y2). The row
+    takes stay in XLA (the only scattered access); everything
+    downstream lives in VMEM. Returns ``(patches, slice_map)``:
+    ``patches`` is a flat tuple of scaled ``(B*N, psize, psize, .)``
+    patch tensors — channel-paired ``2*C_l`` for C=64 levels,
+    per-side ``C_l`` pairs otherwise — each value exactly
+    ``scaled(gather_tiled_levels(...))`` of the unfused path;
+    ``slice_map`` gives each tensor's regressor kernel-channel slices
+    (SegmentedConv convention, [side-1 levels | side-2 levels] cin
+    layout).
+
+    ``use_pallas=None`` dispatches on the backend (Pallas on TPU, the
+    identical-math XLA formulation elsewhere); ``P2P_EXPAND_BACKEND``
+    in {"xla", "pallas"} overrides.
+    """
+    from patch2pix_tpu.ops.conv4d import _tpu_backend
+    from patch2pix_tpu.ops.patch_expand_pallas import (
+        expand_scale_pair_pallas,
+        expand_scale_pair_xla,
+        output_slice_map,
+    )
+
+    def corners(points):
+        x0 = points[..., 0].astype(jnp.int32)
+        y0 = points[..., 1].astype(jnp.int32)
+        if ptype == "center":
+            x0 = x0 - psize // 2
+            y0 = y0 - psize // 2
+        return x0, y0
+
+    x1, y1 = corners(coords[..., 0:2])
+    x2, y2 = corners(coords[..., 2:4])
+    y1p, x1p, rows1, ds_list = _superblock_rows_flat(
+        feats1, x1, y1, feat_idx, feats_downsample, psize, tiles1
+    )
+    y2p, x2p, rows2, _ = _superblock_rows_flat(
+        feats2, x2, y2, feat_idx, feats_downsample, psize, tiles2
+    )
+
+    if use_pallas is None:
+        env = os.environ.get("P2P_EXPAND_BACKEND")
+        if env is not None:
+            use_pallas = env == "pallas" and _tpu_backend()
+        else:
+            use_pallas = _tpu_backend()
+    if use_pallas:
+        outs = expand_scale_pair_pallas(
+            tuple(rows1), tuple(rows2), y1p, x1p, y2p, x2p,
+            psize, tuple(ds_list), out_dtype, interpret,
+        )
+    else:
+        outs = expand_scale_pair_xla(
+            tuple(rows1), tuple(rows2), y1p, x1p, y2p, x2p,
+            psize, tuple(ds_list), out_dtype,
+        )
+    cs = tuple(r.shape[3] // r.shape[2] for r in rows1)
+    return outs, output_slice_map(ds_list, cs, psize)
 
 
 def gather_local_patches_levels(
