@@ -55,11 +55,12 @@ class SegmentedConv(nn.Module):
         """``slice_map``: optional per-input list of (offset, size)
         kernel channel slices whose concat matches that input's channel
         layout. Default: inputs cover the kernel channels sequentially.
-        The channel-PAIRED gather (ops/patch_expand_pallas.py) passes
-        ``[(off_l, C_l), (D + off_l, C_l)]`` per level so both images'
-        kernel slices contract in ONE conv call — fewer, fatter convs
-        (95 -> 111 TF/s measured on the stride-2 conv,
-        tools/profile_conv0.py)."""
+        The channel-paired fused gather (ops/patch_expand_pallas.py)
+        passes ``((off_l, C_l), (D + off_l, C_l))`` for its paired
+        levels so both images' kernel slices contract in one conv call
+        (the pairing itself is free there — it falls out of the
+        dual-pass kernel; tools/profile_conv0.py shows explicit-concat
+        pairing alone is NOT a win, 95 vs 85 TF/s)."""
         xs = _as_tuple(xs)
         if slice_map is None:
             cin = sum(x.shape[-1] for x in xs)
