@@ -182,3 +182,33 @@ def test_fused_pallas_grad_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6
         )
+
+
+def test_fused_pallas_interpret_feat_idx_1234(rng):
+    """feat_idx (1,2,3,4): exercises the C=256 sliced mode and the
+    t=1 (ds=16) edge. Verified bit-exact on the real chip as well."""
+    h, w = 32, 32
+    dims = (3, 64, 64, 128, 256)
+    feats1 = _make_feats(rng, h, w, dims=dims, dtype=jnp.bfloat16)
+    feats2 = _make_feats(rng, h, w, dims=dims, dtype=jnp.bfloat16)
+    coords = np.stack(
+        [
+            rng.integers(0, w, (2, 5)),
+            rng.integers(0, h, (2, 5)),
+            rng.integers(0, w, (2, 5)),
+            rng.integers(0, h, (2, 5)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    fidx = (1, 2, 3, 4)
+    want, _ = gather_scaled_patch_pairs_fused(
+        feats1, feats2, coords, fidx, DS, PSIZE, jnp.bfloat16,
+        use_pallas=False,
+    )
+    got, _ = gather_scaled_patch_pairs_fused(
+        feats1, feats2, coords, fidx, DS, PSIZE, jnp.bfloat16,
+        use_pallas=True, interpret=True,
+    )
+    for g, wnt in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(wnt, np.float32))
