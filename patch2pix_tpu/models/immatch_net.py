@@ -1,8 +1,9 @@
 """Standalone ImMatchNet (adapted NCNet) with selectable backbones.
 
 Capability parity with /root/reference/networks/ncn/model.py:215-333:
-``FeatureExtraction`` (VGG16-to-pool4 or ResNet101-to-layer3, L2
-normalisation inside), 4D ``FeatureCorrelation`` (un-normalised),
+``FeatureExtraction`` (VGG16-to-pool4, ResNet101-to-layer3 or
+DenseNet201-to-transition2, L2 normalisation inside), 4D
+``FeatureCorrelation`` (un-normalised),
 optional relocalisation max-pool, MutualMatching -> NeighConsensus ->
 MutualMatching with arbitrary NCN depth (e.g. [3,3,3]/[10,10,1]).
 
@@ -21,6 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from patch2pix_tpu.models.densenet import DenseNetFeatures
 from patch2pix_tpu.models.ncn import NeighConsensus
 from patch2pix_tpu.models.resnet import BACKBONES
 from patch2pix_tpu.models.vgg import VGG16Features
@@ -54,10 +56,15 @@ class ImMatchNet(nn.Module):
             key = "ResNet101" if "101" in cnn else "ResNet34"
             # reference default last_layer='layer3' == our early_feat trunk
             self.extract = BACKBONES[key](False, dtype=self.dtype)
+        elif cnn == "densenet201":
+            # reference truncates at transition2 (model.py:71-77)
+            self.extract = DenseNetFeatures(
+                dtype=self.dtype, name="FeatureExtraction"
+            )
         else:
             raise ValueError(
                 f"unsupported feature_extraction_cnn {cnn!r}; "
-                "available: vgg, resnet101, resnet34"
+                "available: vgg, resnet101, resnet34, densenet201"
             )
         self.ncn = NeighConsensus(
             kernel_sizes=tuple(self.ncons_kernel_sizes),

@@ -195,6 +195,49 @@ def convert_vgg16_features(
     return params
 
 
+def convert_densenet_features(
+    sd: Mapping[str, np.ndarray],
+    prefix: str = "features.",
+    scope: Tuple[str, ...] = ("FeatureExtraction",),
+) -> Tuple[dict, dict]:
+    """torchvision ``densenet201().features`` keys -> DenseNetFeatures.
+
+    Key shapes: ``conv0.weight``, ``norm0.*``,
+    ``denseblock{B}.denselayer{L}.{norm1,conv1,norm2,conv2}.*``,
+    ``transition{T}.{norm,conv}.*``. Blocks beyond the truncation
+    (denseblock3+, norm5) are skipped — the reference cuts the trunk at
+    transition2 (/root/reference/networks/ncn/model.py:71-77).
+    """
+    params: dict = {}
+    stats: dict = {}
+    for key, v in sd.items():
+        if prefix:
+            if not key.startswith(prefix):
+                continue
+            key = key[len(prefix):]
+        parts = key.split(".")
+        if parts[0] in ("denseblock3", "denseblock4", "transition3", "norm5"):
+            continue
+        if parts[0] == "conv0":
+            _set(params, (*scope, "conv0", "kernel"), _convert_conv2d(v))
+        elif parts[0] == "norm0":
+            _put_bn(params, stats, (*scope, "norm0"), parts[1], v)
+        elif parts[0].startswith("denseblock"):
+            layer = f"{parts[0]}_{parts[1]}"
+            if parts[2].startswith("conv"):
+                _set(params, (*scope, layer, parts[2], "kernel"),
+                     _convert_conv2d(v))
+            else:
+                _put_bn(params, stats, (*scope, layer, parts[2]), parts[3], v)
+        elif parts[0].startswith("transition"):
+            leaf = f"{parts[0]}_{parts[1]}"
+            if parts[1] == "conv":
+                _set(params, (*scope, leaf, "kernel"), _convert_conv2d(v))
+            else:
+                _put_bn(params, stats, (*scope, leaf), parts[2], v)
+    return params, stats
+
+
 def convert_ncnet_checkpoint(
     sd: Mapping[str, np.ndarray],
 ) -> Tuple[dict, dict]:
