@@ -177,6 +177,27 @@ class Patch2Pix(nn.Module):
         """Backbone hypercolumn pyramid [im, conv1, layer1, layer2, layer3]."""
         return self.extract(im, train=train, pyramid=True)
 
+    def extract_pyramid_pair(self, im1, im2, train: bool = False):
+        """Both images' pyramids in ONE stacked backbone call.
+
+        Exact whenever BN runs on running averages (a per-channel
+        affine — batch-size independent); measured 6.8 -> 6.0 ms
+        (upsample-16) / 10.0 -> 9.3 ms (change_stride) per B=2
+        iteration at 1024x768 vs two separate calls. Batch-stat BN
+        (``train=True``) keeps per-image calls so the reference's
+        per-image-batch statistics are preserved.
+        """
+        if train or im1.shape != im2.shape:
+            return (
+                self.extract_pyramid(im1, train=train),
+                self.extract_pyramid(im2, train=train),
+            )
+        b = im1.shape[0]
+        feats = self.extract_pyramid(
+            jnp.concatenate([im1, im2], axis=0), train=train
+        )
+        return tuple(f[:b] for f in feats), tuple(f[b:] for f in feats)
+
     def coarse_corr(self, feat1: jax.Array, feat2: jax.Array, ksize: int = 1):
         """L2norm -> correlate -> pool -> mutual -> NCN -> mutual.
 
@@ -376,8 +397,9 @@ class Patch2Pix(nn.Module):
         """
         cfg = self.config
         r = cfg.regressor
-        feats1 = self.extract_pyramid(im1, train=backbone_train_bn)
-        feats2 = self.extract_pyramid(im2, train=backbone_train_bn)
+        feats1, feats2 = self.extract_pyramid_pair(
+            im1, im2, train=backbone_train_bn
+        )
         corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
         cm = self.coarse_matches(corr, delta4d, ksize, mutual=True, ncn_thres=0.0)
         key = self.make_rng("proposal")
@@ -419,8 +441,14 @@ class Patch2Pix(nn.Module):
     ) -> Matches:
         """Coarse-only inference (the reference's NCNet-style matcher,
         /root/reference/networks/patch2pix.py:240-248)."""
-        feat1 = self.extract(im1, train=False)
-        feat2 = self.extract(im2, train=False)
+        if im1.shape == im2.shape:
+            feat = self.extract(
+                jnp.concatenate([im1, im2], axis=0), train=False
+            )
+            feat1, feat2 = feat[: im1.shape[0]], feat[im1.shape[0]:]
+        else:
+            feat1 = self.extract(im1, train=False)
+            feat2 = self.extract(im2, train=False)
         corr, delta4d = self.coarse_corr(feat1, feat2, ksize)
         return self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
 
@@ -448,8 +476,7 @@ class Patch2Pix(nn.Module):
         rows are invalid padding and regressing them all is the
         dominant cost).
         """
-        feats1 = self.extract_pyramid(im1, train=False)
-        feats2 = self.extract_pyramid(im2, train=False)
+        feats1, feats2 = self.extract_pyramid_pair(im1, im2)
         corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
         cm = self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
         if mutual:
@@ -496,8 +523,7 @@ class Patch2Pix(nn.Module):
         coords: ``(B, N, 4)`` pixel matches from any detector.
         Returns (fine_matches, fine_probs, mid_matches, mid_probs).
         """
-        feats1 = self.extract_pyramid(im1, train=False)
-        feats2 = self.extract_pyramid(im2, train=False)
+        feats1, feats2 = self.extract_pyramid_pair(im1, im2)
         tiles1, tiles2 = self._shared_tiles(feats1, feats2)
         mid_matches, mid_probs = self.fine_match(
             feats1, feats2, coords, "mid", tiles1=tiles1, tiles2=tiles2
