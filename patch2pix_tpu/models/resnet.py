@@ -15,6 +15,17 @@ for matching features, with
 
 Weights convert 1:1 from torchvision checkpoints via
 ``patch2pix_tpu.utils.torch_import``.
+
+TPU inference detail: when BatchNorm runs on running averages it is a
+per-channel affine, so every conv+BN pair is folded into one
+convolution with rescaled weights and a bias (``FoldableBatchNorm``).
+On TPU, convolutions are library calls that elementwise ops cannot fuse
+into, so the unfolded form pays a full HBM read+write pass per BN — at
+the change_stride eval scale that was ~3 ms/iteration of pure affine
+traffic. Batch-stat mode (``train=True``) keeps the classic form with
+flax-BatchNorm-compatible running-stat updates. The variable tree is
+identical to nn.BatchNorm's (params scale/bias, batch_stats mean/var),
+so checkpoints and the torchvision import are unchanged.
 """
 
 from __future__ import annotations
@@ -26,10 +37,115 @@ import jax
 import jax.numpy as jnp
 
 
+class FoldableBatchNorm(nn.Module):
+    """BatchNorm with nn.BatchNorm's variable tree plus a
+    ``fold_params()`` accessor returning the running-average affine
+    ``(s, t)`` with ``bn(y) == y * s + t`` — computed in float32 — so
+    callers can fold ``s`` into the preceding convolution's weights."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.scale = self.param(
+            "scale", nn.initializers.ones, (self.features,)
+        )
+        self.bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,)
+        )
+        self.ra_mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32),
+        )
+        self.ra_var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32),
+        )
+
+    def fold_params(self) -> Tuple[jax.Array, jax.Array]:
+        s = (
+            self.scale.astype(jnp.float32)
+            * jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        )
+        t = self.bias.astype(jnp.float32) - self.ra_mean.value * s
+        return s, t
+
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if not train:
+            s, t = self.fold_params()
+            return x * s.astype(x.dtype) + t.astype(x.dtype)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(x.ndim - 1))
+        mu = jnp.mean(xf, axis=axes)
+        var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mu)
+        if not self.is_initializing():
+            m = self.momentum
+            self.ra_mean.value = m * self.ra_mean.value + (1.0 - m) * mu
+            self.ra_var.value = m * self.ra_var.value + (1.0 - m) * var
+        inv = jax.lax.rsqrt(var + self.epsilon) * self.scale.astype(jnp.float32)
+        y = (xf - mu) * inv + self.bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+class _ConvKernel(nn.Module):
+    """Parameter holder matching nn.Conv's tree (one 'kernel' param)."""
+
+    shape: Tuple[int, ...]
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.shape
+        )
+
+    def __call__(self) -> jax.Array:
+        return self.kernel
+
+
+def _conv2d(x, kernel, stride: int, dtype) -> jax.Array:
+    kh = kernel.shape[0]
+    p = (kh - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(stride, stride), padding=[(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _conv_bn(
+    x: jax.Array,
+    features: int,
+    in_features: int,
+    ksize: int,
+    stride: int,
+    conv_name: str,
+    bn_name: str,
+    dtype,
+    train: bool,
+) -> jax.Array:
+    """conv (no bias) + BatchNorm, BN-folded into the conv at inference.
+
+    Called inside a block's compact method, so ``conv_name``/``bn_name``
+    become direct children of the block — the parameter tree matches
+    the previous nn.Conv/nn.BatchNorm layout exactly.
+    """
+    kernel = _ConvKernel(
+        (ksize, ksize, in_features, features), name=conv_name
+    )()
+    bn = FoldableBatchNorm(features, dtype=dtype, name=bn_name)
+    if train:
+        return bn(_conv2d(x, kernel, stride, dtype), train=True)
+    s, t = bn.fold_params()
+    y = _conv2d(x, kernel.astype(jnp.float32) * s, stride, dtype)
+    return y + t.astype(y.dtype)
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/projection shortcut (ResNet-18/34)."""
 
     filters: int
+    in_filters: int
     stride: int = 1
     use_projection: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -37,21 +153,16 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = _conv_bn(x, self.filters, self.in_filters, 3, self.stride,
+                     "conv1", "bn1", self.dtype, train)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(1, 1),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = _conv_bn(y, self.filters, self.filters, 3, 1,
+                     "conv2", "bn2", self.dtype, train)
         if self.use_projection:
-            residual = nn.Conv(self.filters, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype, name="downsample_bn")(residual)
+            residual = _conv_bn(
+                x, self.filters, self.in_filters, 1, self.stride,
+                "downsample_conv", "downsample_bn", self.dtype, train,
+            )
         return nn.relu(y + residual)
 
 
@@ -59,6 +170,7 @@ class Bottleneck(nn.Module):
     """1x1 -> 3x3 -> 1x1 bottleneck (ResNet-50/101), expansion 4."""
 
     filters: int
+    in_filters: int
     stride: int = 1
     use_projection: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -66,24 +178,19 @@ class Bottleneck(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        y = _conv_bn(x, self.filters, self.in_filters, 1, 1,
+                     "conv1", "bn1", self.dtype, train)
         y = nn.relu(y)
-        y = nn.Conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn2")(y)
+        y = _conv_bn(y, self.filters, self.filters, 3, self.stride,
+                     "conv2", "bn2", self.dtype, train)
         y = nn.relu(y)
-        y = nn.Conv(self.filters * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn3")(y)
+        y = _conv_bn(y, self.filters * 4, self.filters, 1, 1,
+                     "conv3", "bn3", self.dtype, train)
         if self.use_projection:
-            residual = nn.Conv(self.filters * 4, (1, 1),
-                               strides=(self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
-            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    epsilon=1e-5, dtype=self.dtype, name="downsample_bn")(residual)
+            residual = _conv_bn(
+                x, self.filters * 4, self.in_filters, 1, self.stride,
+                "downsample_conv", "downsample_bn", self.dtype, train,
+            )
         return nn.relu(y + residual)
 
 
@@ -101,6 +208,10 @@ class StemConv(nn.Module):
     layout so checkpoint import is unchanged; the fold to the s2d
     kernel is a tiny static transform of the weights.
 
+    ``scale``: optional per-output-channel multiplier folded into the
+    weights (the BN fold — multiplying the kernel's Cout axis commutes
+    with every spatial reshuffle here).
+
     Falls back to the direct conv for odd input sizes (never hit at the
     snapped eval/train resolutions).
     """
@@ -108,12 +219,14 @@ class StemConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, scale: jax.Array | None = None):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (7, 7, 3, 64),
         )
+        if scale is not None:
+            kernel = kernel.astype(jnp.float32) * scale
         h, w = x.shape[1], x.shape[2]
         if h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
@@ -155,9 +268,13 @@ class ResNetFeatures(nn.Module):
     def __call__(self, x, train: bool = False, pyramid: bool = False):
         x = x.astype(self.dtype)
         feats = [x]
-        y = StemConv(dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn1")(y)
+        stem = StemConv(dtype=self.dtype, name="conv1")
+        bn1 = FoldableBatchNorm(64, dtype=self.dtype, name="bn1")
+        if train:
+            y = bn1(stem(x), train=True)
+        else:
+            s, t = bn1.fold_params()
+            y = stem(x, scale=s) + t.astype(self.dtype)
         y = nn.relu(y)
         feats.append(y)
         # torch MaxPool2d(3, stride=2, padding=1)
@@ -177,7 +294,8 @@ class ResNetFeatures(nn.Module):
                 s = stride if bi == 0 else 1
                 proj = bi == 0 and (s != 1 or in_ch != out_ch)
                 y = self.block_cls(
-                    filters=filters, stride=s, use_projection=proj,
+                    filters=filters, in_filters=in_ch, stride=s,
+                    use_projection=proj,
                     dtype=self.dtype, name=f"layer{si + 1}_{bi}",
                 )(y, train=train)
                 in_ch = out_ch

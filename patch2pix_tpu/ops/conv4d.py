@@ -18,8 +18,11 @@ with zero padding p = ksize // 2 on all four spatial dims (SAME).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 K_PALLAS = 3  # kernel size the Pallas fast path supports
 
@@ -97,6 +100,96 @@ def _outer_shifts_all(x: jax.Array, k: int = 3):
     ]
 
 
+def _flat_shift_masks(h1: int, w1: int, k: int = 3) -> list:
+    """Validity masks for FLAT (h1*w1) shifts of the outer taps.
+
+    A shift by (di-1, dj-1) over the (h1, w1) grid equals a shift by
+    s = (di-1)*w1 + (dj-1) of the row-major flat index — except at grid
+    edges, where the flat shift wraps into the neighbouring row instead
+    of reading the zero padding. mask[t][f] = 1 iff flat cell f's tap-t
+    source (i+di-1, j+dj-1) is inside the grid, restoring exact SAME
+    zero-pad semantics. Slicing the flat axis keeps XLA's layouts
+    intact; slicing separate (h1, w1) axes of the 6D view made layout
+    assignment pick (h1, w1)-minor layouts for the huge NCN volumes and
+    spend more time relayouting than convolving (measured ~8 ms/iter of
+    pure copies/reshapes at the change_stride eval scale).
+    """
+    pad = k // 2
+    i = np.arange(h1)[:, None]
+    j = np.arange(w1)[None, :]
+    masks = []
+    for di in range(k):
+        for dj in range(k):
+            ok = (
+                (i + di - pad >= 0) & (i + di - pad < h1)
+                & (j + dj - pad >= 0) & (j + dj - pad < w1)
+            )
+            masks.append(ok.reshape(h1 * w1))
+    return masks
+
+
+def _outer_shifts_flat(xf: jax.Array, bs: int, h1: int, w1: int, k: int = 3):
+    """The k^2 outer-tap views of a FULLY-FLAT volume ``(B*h1*w1, ...)``
+    as (masked slice, mask) pairs — no (B, h1, w1) axes ever exist, so
+    no relayout-prone reshapes. Shifts that cross a row (or batch)
+    boundary in the flat index land on cells whose mask is 0 — the same
+    grid-edge condition — so one pad of the flat axis serves every
+    batch. Pads by w1+pad on both ends."""
+    pad = k // 2
+    p = pad * w1 + pad  # max |flat shift|
+    n = bs * h1 * w1
+    xp = jnp.pad(xf, ((p, p),) + ((0, 0),) * (xf.ndim - 1))
+    masks = _flat_shift_masks(h1, w1, k)
+    out = []
+    for t, mask in enumerate(masks):
+        di, dj = t // k, t % k
+        s = (di - pad) * w1 + (dj - pad)
+        view = jax.lax.slice_in_dim(xp, p + s, p + s + n, axis=0)
+        m = jnp.asarray(np.tile(mask, bs))
+        out.append((view, m))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tap_sum(zf: jax.Array, bias: jax.Array, bs: int, h1: int, w1: int):
+    """bias + masked outer-tap shift-add of ``zf (9, N, M)`` -> (N, M)
+    f32 (Pallas kernel; see ops/tap_sum_pallas.py). The custom VJP keeps
+    the NCN differentiable for pretraining: the adjoint is the same
+    masked shift with flipped taps, done in plain jnp (training-only)."""
+    from patch2pix_tpu.ops.tap_sum_pallas import tap_sum_pallas
+
+    return tap_sum_pallas(zf, bias, bs, h1, w1, interpret=not _tpu_backend())
+
+
+def _tap_sum_fwd(zf, bias, bs, h1, w1):
+    return _tap_sum(zf, bias, bs, h1, w1), jnp.zeros((0,), zf.dtype)
+
+
+def _tap_sum_bwd(bs, h1, w1, res, g):
+    zdtype = res.dtype
+    k = 3
+    pad = k // 2
+    p = pad * w1 + pad
+    n, m = g.shape
+    gp = jnp.pad(g, ((p, p), (0, 0)))
+    masks = _flat_shift_masks(h1, w1, k)
+    dz = []
+    for t in range(k * k):
+        di, dj = t // k, t % k
+        s = (di - pad) * w1 + (dj - pad)
+        # d z[t, f'] = mask_t[f' - s] * g[f' - s]; the source-validity
+        # mask evaluated at f' - s equals the FLIPPED tap's mask at f'
+        view = jax.lax.slice_in_dim(gp, p - s, p - s + n, axis=0)
+        mflip = jnp.asarray(
+            np.tile(masks[(k - 1 - di) * k + (k - 1 - dj)], bs), jnp.float32
+        )
+        dz.append(view * mflip[:, None])
+    return jnp.stack(dz).astype(zdtype), jnp.sum(g)
+
+
+_tap_sum.defvjp(_tap_sum_fwd, _tap_sum_bwd)
+
+
 def conv4d_fold_in(
     x: jax.Array, w: jax.Array, b: jax.Array | None = None,
     out_dtype: jax.typing.DTypeLike | None = None,
@@ -121,13 +214,21 @@ def conv4d_fold_in(
     assert k == 3, f"fold-in path is k=3 only, got {w.shape}"
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
+    # masked FLAT shifts (see _flat_shift_masks): exactly the zero-padded
+    # 9 outer-tap views, but sliced along the merged (B*h1*w1) axis so
+    # no 6D reshape/relayout ever touches the volume
+    xf = x.reshape(bs * h1 * w1, h2, w2, cin)
     xs9 = jnp.concatenate(
-        _outer_shifts_all(x, k), axis=-1
-    )  # (B, h1, w1, h2, w2, 9*cin)
+        [
+            v * m[:, None, None, None].astype(v.dtype)
+            for v, m in _outer_shifts_flat(xf, bs, h1, w1, k)
+        ],
+        axis=-1,
+    )  # (B*h1*w1, h2, w2, 9*cin)
     # W[dk, dl, (t, ci), co] = w[di(t), dj(t), dk, dl, ci, co]
     wf = w.transpose(2, 3, 0, 1, 4, 5).reshape(k, k, k * k * cin, cout)
     out = jax.lax.conv_general_dilated(
-        xs9.reshape(bs * h1 * w1, h2, w2, k * k * cin),
+        xs9,
         wf,
         window_strides=(1, 1),
         padding="SAME",
@@ -186,22 +287,46 @@ def conv4d_fold_out(
     )  # (9*cout, B*h1*w1, h2, w2) feature-major
     z = z.astype(x.dtype)  # rounding matches the bf16 pipeline's
     # layer-output storage; the tap-sum below still accumulates in f32
-    z = z.reshape(k * k, cout, bs, h1, w1, h2, w2)
-    # one shared pad over the OUTER dims (now axes 2, 3), then k^2
-    # static slices — padding per tap would copy z k^2 times
+    n = bs * h1 * w1
+    if (
+        cout == 1 and _tpu_backend() and n % 8 == 0
+        # Mosaic DMA windows must be lane-aligned: the flattened minor
+        # (h2*w2) dim must fill whole 128-lane tiles (true at every
+        # snapped eval/train scale; tiny init shapes take the jnp path)
+        and (h2 * w2) % 128 == 0
+    ):
+        # Pallas masked shift-add: one DMA'd read of z + one write of
+        # the output. The jnp pad/slice chain below is exact too, but
+        # XLA materialises padded copies of the whole z tensor per
+        # branch (~9 ms/iter at change_stride eval scale vs ~1.5 here).
+        zf = z.reshape(k * k, n, h2 * w2)
+        bias0 = (
+            jnp.zeros((), jnp.float32) if b is None else b.reshape(())
+        )
+        out = _tap_sum(zf, bias0, bs, h1, w1).reshape(
+            bs, h1, w1, h2, w2, 1
+        )
+        return out if out_dtype is None else out.astype(out_dtype)
+    z = z.reshape(k * k, cout, n, h2, w2)
+    # masked FLAT shift-adds (see _flat_shift_masks): slicing the merged
+    # (B*h1*w1) axis — the conv output's own batch dim — instead of
+    # separate (h1, w1) axes keeps the slices on the layout XLA gave the
+    # conv output; the 6D reshape + relayout copies this replaces cost
+    # ~6 ms/iter at change_stride eval scale
     pad = k // 2
-    zp = jnp.pad(
-        z, ((0, 0), (0, 0), (0, 0), (pad, pad), (pad, pad), (0, 0), (0, 0))
-    )
+    p = pad * w1 + pad
+    zp = jnp.pad(z, ((0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
+    masks = _flat_shift_masks(h1, w1, k)
     out = None
     for t in range(k * k):
         di, dj = t // k, t % k
-        shifted = jax.lax.slice(
-            zp,
-            (t, 0, 0, di, dj, 0, 0),
-            (t + 1, cout, bs, di + h1, dj + w1, h2, w2),
-        )[0].astype(jnp.float32)
+        s = (di - pad) * w1 + (dj - pad)
+        shifted = jax.lax.slice_in_dim(zp[t], p + s, p + s + n, axis=1)
+        shifted = shifted.astype(jnp.float32) * jnp.asarray(
+            np.tile(masks[t], bs), jnp.float32
+        )[None, :, None, None]
         out = shifted if out is None else out + shifted
+    out = out.reshape(cout, bs, h1, w1, h2, w2)
     out = jnp.moveaxis(out, 0, -1)  # (B, h1, w1, h2, w2, cout)
     if b is not None:
         out = out + b
