@@ -46,7 +46,8 @@ class FoldableBatchNorm(nn.Module):
     features: int
     momentum: float = 0.9
     epsilon: float = 1e-5
-    dtype: jnp.dtype = jnp.float32
+    # NOTE: no dtype field — the eval path computes in x.dtype and the
+    # train path in float32, deliberately (running stats are f32).
 
     def setup(self):
         self.scale = self.param(
@@ -133,7 +134,7 @@ def _conv_bn(
     kernel = _ConvKernel(
         (ksize, ksize, in_features, features), name=conv_name
     )()
-    bn = FoldableBatchNorm(features, dtype=dtype, name=bn_name)
+    bn = FoldableBatchNorm(features, name=bn_name)
     if train:
         return bn(_conv2d(x, kernel, stride, dtype), train=True)
     s, t = bn.fold_params()
@@ -269,7 +270,7 @@ class ResNetFeatures(nn.Module):
         x = x.astype(self.dtype)
         feats = [x]
         stem = StemConv(dtype=self.dtype, name="conv1")
-        bn1 = FoldableBatchNorm(64, dtype=self.dtype, name="bn1")
+        bn1 = FoldableBatchNorm(64, name="bn1")
         if train:
             y = bn1(stem(x), train=True)
         else:

@@ -98,6 +98,12 @@ def tap_sum_pallas(
         for dj in range(K)
     ]
     nb = _pick_nb(n, m * z.dtype.itemsize)
+    if nb == 0:
+        raise ValueError(
+            f"tap_sum_pallas: no multiple-of-8 block of n={n} fits the "
+            f"VMEM budget at row_bytes={m * z.dtype.itemsize} "
+            f"(z shape {z.shape}); use the jnp fold-out path instead"
+        )
     return pl.pallas_call(
         _make_kernel(nb, h1, w1, p, taps),
         grid=(n // nb,),
