@@ -77,6 +77,16 @@ def parse_args(argv=None):
     p.add_argument("--ht", type=int, default=320, help="train image height")
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32", help="compute dtype (params stay f32)")
+    p.add_argument(
+        "--backbone_train_bn", action="store_true",
+        help="use batch statistics in the frozen backbone's BatchNorms "
+        "during training, like the reference's net.train() does "
+        "(/root/reference/train_patch2pix.py:78). Default OFF: the "
+        "backbone is frozen, so its running ImageNet statistics are the "
+        "distribution its weights were trained for, and eval always "
+        "uses them — training with them removes a train/eval skew. "
+        "Pass this flag to reproduce the reference recipe exactly.",
+    )
     return p.parse_args(argv)
 
 
@@ -262,10 +272,19 @@ def main(argv=None):
         epi_dthres=tuple(args.epi_dthres),
         weight_cls=args.weight_cls,
         weight_epi=tuple(args.weight_epi),
+        backbone_train_bn=args.backbone_train_bn,
     )
+    batch_sharding = None
     if n_dev > 1:
+        from jax.sharding import NamedSharding
+
+        from patch2pix_tpu.train.step import shard_batch_spec
+
         mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
         train_step = make_sharded_train_step(model, tx, mesh, **step_kwargs)
+        batch_sharding = {
+            k: NamedSharding(mesh, v) for k, v in shard_batch_spec().items()
+        }
         log(f"Mesh: {n_dev}-device data parallel")
     else:
         train_step = jax.jit(make_train_step(model, tx, **step_kwargs), donate_argnums=0)
@@ -278,11 +297,17 @@ def main(argv=None):
         it = batch_iterator(
             dataset, args.batch, shuffle=True, seed=args.seed + epoch
         )
+        # background H2D staging + one up-front key split: the loop body
+        # has NO per-step host syncs (metrics drain lazily at flush)
+        from patch2pix_tpu.data.prefetch import prefetch_to_device
+
+        it = prefetch_to_device(it, size=2, sharding=batch_sharding)
+        rng, epoch_rng = jax.random.split(rng)
+        step_keys = jax.random.split(epoch_rng, max(steps_per_epoch, 1))
         for i, batch in enumerate(it):
             if i >= steps_per_epoch:
                 break
-            rng, sub = jax.random.split(rng)
-            state, metrics = train_step(state, batch, sub)
+            state, metrics = train_step(state, batch, step_keys[i])
             writer.append(metrics)
             if steps_per_epoch >= args.plot_counts and (
                 i % max(steps_per_epoch // args.plot_counts, 1) == 0 and i > 0
