@@ -112,21 +112,79 @@ def patch2pix_losses(
     loss = weight_cls * cls_loss + epi_loss
 
     cthres = 0.5
-    mpred = outputs["mid_probs"] > cthres
-    fpred = outputs["fine_probs"] > cthres
+    mpred = (outputs["mid_probs"] > cthres).astype(jnp.float32)
+    fpred = (outputs["fine_probs"] > cthres).astype(jnp.float32)
+    mid_epi_mask = pair_epi_valid & jnp.any(mids, axis=1)
+    fine_epi_mask = pair_epi_valid & jnp.any(fids, axis=1)
     metrics = {
         "loss/pair": loss,
         "loss/cls_mid": _masked_mean(mcls_lss, pair_cls_valid),
         "loss/cls_fine": _masked_mean(fcls_lss, pair_cls_valid),
-        "loss/epi_mid": _masked_mean(epi_mid, pair_epi_valid & jnp.any(mids, axis=1)),
-        "loss/epi_fine": _masked_mean(epi_fine, pair_epi_valid & jnp.any(fids, axis=1)),
+        "loss/epi_mid": _masked_mean(epi_mid, mid_epi_mask),
+        "loss/epi_fine": _masked_mean(epi_fine, fine_epi_mask),
         "cls_ratios/mpos_gt": jnp.mean(mpos_sum / n),
         "cls_ratios/fpos_gt": jnp.mean(fpos_sum / n),
-        "cls_mid/acc": jnp.mean((mpred == (mcls_pos > 0.5)).astype(jnp.float32)),
-        "cls_fine/acc": jnp.mean((fpred == (fcls_pos > 0.5)).astype(jnp.float32)),
+        "cls_ratios/mpos_pred": jnp.mean(jnp.sum(mpred, axis=1) / n),
+        "cls_ratios/fpos_pred": jnp.mean(jnp.sum(fpred, axis=1) / n),
         # the reference counts a pair once if it skips at EITHER gate:
         # no cls positives (:140-142) or no epi inliers (:170-172);
         # the two cases are exactly the pairs with ~pair_epi_valid
         "skipped": jnp.sum(~pair_epi_valid).astype(jnp.float32),
+        # match-distance family (the reference's match_dist 8-legend
+        # visdom group, /root/reference/utils/train/helper.py:147-150 +
+        # train_patch2pix.py:183-188): *_gt legends are distances over
+        # GT-thresholded subsets; the *_pred legends are declared in
+        # the reference schema but never appended there — here they
+        # carry the analogous distances over PREDICTED-positive sets.
+        "match_dist/cmid_gt": _masked_mean(
+            _masked_mean(cdist, mids, axis=1), mid_epi_mask
+        ),
+        "match_dist/mmid_gt": _masked_mean(epi_mid, mid_epi_mask),
+        "match_dist/mfid_gt": _masked_mean(
+            _masked_mean(mdist, fids, axis=1), fine_epi_mask
+        ),
+        "match_dist/ffid_gt": _masked_mean(epi_fine, fine_epi_mask),
+        "match_dist/cmid_pred": _masked_mean(
+            _masked_mean(cdist, mpred, axis=1), pair_cls_valid
+        ),
+        "match_dist/mmid_pred": _masked_mean(
+            _masked_mean(mdist, mpred, axis=1), pair_cls_valid
+        ),
+        "match_dist/mfid_pred": _masked_mean(
+            _masked_mean(mdist, fpred, axis=1), pair_cls_valid
+        ),
+        "match_dist/ffid_pred": _masked_mean(
+            _masked_mean(fdist, fpred, axis=1), pair_cls_valid
+        ),
     }
+    # classification-metric family (the reference's plot_cls_metric,
+    # /root/reference/utils/train/helper.py:157-195): per-pair
+    # rec/prec/spec/acc/f1 appended only for pairs past the cls gate,
+    # epoch-aggregated as means — reproduced as masked batch means.
+    for tag, pred, gt, pos_sum in (
+        ("cls_mid", mpred, mcls_pos, mpos_sum),
+        ("cls_fine", fpred, fcls_pos, fpos_sum),
+    ):
+        tp = jnp.sum(pred * gt, axis=1)
+        tn = jnp.sum((1.0 - pred) * (1.0 - gt), axis=1)
+        ppred = jnp.sum(pred, axis=1)
+        ngt = n - pos_sum
+        rec = jnp.where(
+            pos_sum > 0, tp / jnp.maximum(pos_sum, 1.0),
+            (ppred == 0).astype(jnp.float32),
+        )
+        spec = jnp.where(
+            ngt > 0, tn / jnp.maximum(ngt, 1.0),
+            (ppred == n).astype(jnp.float32),
+        )
+        prec = jnp.where(ppred > 0, tp / jnp.maximum(ppred, 1.0), 0.0)
+        acc = jnp.mean((pred == gt).astype(jnp.float32), axis=1)
+        f1 = jnp.where(
+            prec + rec > 0, 2.0 * prec * rec / jnp.maximum(prec + rec, 1e-12), 0.0
+        )
+        metrics[f"{tag}/rec"] = _masked_mean(rec, pair_cls_valid)
+        metrics[f"{tag}/prec"] = _masked_mean(prec, pair_cls_valid)
+        metrics[f"{tag}/spec"] = _masked_mean(spec, pair_cls_valid)
+        metrics[f"{tag}/acc"] = _masked_mean(acc, pair_cls_valid)
+        metrics[f"{tag}/f1"] = _masked_mean(f1, pair_cls_valid)
     return loss, metrics

@@ -67,22 +67,49 @@ class MetricsWriter:
     Mirrors the reference ``VisMeter`` contract
     (/root/reference/utils/common/visdom_helper.py:4-44): values
     accumulate per epoch, ``flush`` records the means and clears.
+
+    ``append`` is LAZY: metric dicts (typically jax device scalars from
+    an async-dispatched train step) are queued without conversion, and
+    one batched ``device_get`` runs at ``means``/``flush``/``summary``
+    time. The reference's per-step ``.item()`` host syncs
+    (/root/reference/train_patch2pix.py:160-163) were one of its big
+    throughput sins; a per-step ``float()`` here would reintroduce them
+    by blocking on every step's metrics.
     """
 
     def __init__(self, out_path: Optional[str] = None, prefix: str = "train"):
         self.prefix = prefix
         self._vals: Dict[str, list] = defaultdict(list)
+        self._pending: list = []
         self._path = out_path
         if out_path:
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
 
-    def append(self, metrics: Dict[str, float]) -> None:
-        for k, v in metrics.items():
-            v = float(v)
-            if np.isfinite(v):
-                self._vals[k].append(v)
+    def append(self, metrics: Dict) -> None:
+        """Queue one step's metrics (device arrays stay on device).
+
+        Values may be scalars or stacked 1-D arrays (a scan over steps);
+        stacked entries count as one appended value per element.
+        """
+        self._pending.append(dict(metrics))
+
+    def _drain(self) -> None:
+        if not self._pending:
+            return
+        try:
+            import jax
+
+            host = jax.device_get(self._pending)
+        except ImportError:
+            host = self._pending
+        for m in host:
+            for k, v in m.items():
+                a = np.ravel(np.asarray(v, np.float64))
+                self._vals[k].extend(float(x) for x in a[np.isfinite(a)])
+        self._pending.clear()
 
     def means(self) -> Dict[str, float]:
+        self._drain()
         return {k: float(np.mean(v)) for k, v in self._vals.items() if v}
 
     def flush(self, epoch: float) -> Dict[str, float]:
