@@ -118,6 +118,18 @@ def corr_to_matches(
     ib = jnp.concatenate([ib1, ib2], axis=1)
     jb = jnp.concatenate([jb1, jb2], axis=1)
 
+    ia, ja, ib, jb = _relocate(delta4d, ia, ja, ib, jb, ksize, (w1, h2, w2))
+
+    grid = jnp.stack([ja, ia, jb, ib], axis=-1).astype(jnp.int32)  # x, y order
+    scores = jnp.concatenate([score1, score2], axis=1)
+    mutual = jnp.concatenate([mutual1, mutual2], axis=1)
+    return grid, scores, mutual
+
+
+def _relocate(delta4d, ia, ja, ib, jb, ksize, dims):
+    """Relocate pooled-grid indices to the pre-pool grid (i*ksize + di)
+    from any of the supported delta sources; no-op scaling without one."""
+    w1, h2, w2 = dims
     if (
         isinstance(delta4d, (tuple, list))
         and len(delta4d) == 3
@@ -131,10 +143,6 @@ def corr_to_matches(
         di, dj, dk, dl = decode_delta_from_feats(
             feat1, feat2, ia, ja, ib, jb, ksize
         )
-        ia = ia * ksize + di
-        ja = ja * ksize + dj
-        ib = ib * ksize + dk
-        jb = jb * ksize + dl
     elif delta4d is not None and not isinstance(delta4d, (tuple, list)):
         # lazy relocalisation: delta4d is the PRE-POOL volume; offsets
         # are recomputed for just the N selected cells instead of
@@ -143,25 +151,72 @@ def corr_to_matches(
         from patch2pix_tpu.ops.correlation import decode_delta_at
 
         di, dj, dk, dl = decode_delta_at(delta4d, ia, ja, ib, jb, ksize)
-        ia = ia * ksize + di
-        ja = ja * ksize + dj
-        ib = ib * ksize + dk
-        jb = jb * ksize + dl
     elif delta4d is not None:
-        di, dj, dk, dl = delta4d
+        d4 = delta4d
+        b = ia.shape[0]
         lin = ((ia * w1 + ja) * h2 + ib) * w2 + jb  # (B, N)
         gather = lambda d: jnp.take_along_axis(d.reshape(b, -1), lin, axis=1)
-        ia = ia * ksize + gather(di)
-        ja = ja * ksize + gather(dj)
-        ib = ib * ksize + gather(dk)
-        jb = jb * ksize + gather(dl)
+        di, dj, dk, dl = (gather(d) for d in d4)
     elif ksize != 1:
-        ia, ja, ib, jb = ia * ksize, ja * ksize, ib * ksize, jb * ksize
+        return ia * ksize, ja * ksize, ib * ksize, jb * ksize
+    else:
+        return ia, ja, ib, jb
+    return ia * ksize + di, ja * ksize + dj, ib * ksize + dk, jb * ksize + dl
 
-    grid = jnp.stack([ja, ia, jb, ib], axis=-1).astype(jnp.int32)  # x, y order
-    scores = jnp.concatenate([score1, score2], axis=1)
-    mutual = jnp.concatenate([mutual1, mutual2], axis=1)
-    return grid, scores, mutual
+
+def corr_to_matches_topk(
+    corr: jax.Array,
+    delta4d=None,
+    topk: int = 1,
+    ksize: int = 1,
+    do_softmax: bool = True,
+    invert_matching_direction: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k match extraction — parity shim for the reference's
+    ``corr_to_matches_topk`` (/root/reference/networks/ncn/
+    extract_ncmatches.py:96-158; dead code there — zero callers — kept
+    for API completeness).
+
+    One direction only, k best source (or target) cells per anchor via
+    ``lax.top_k``; scores are softmax values when ``do_softmax``.
+
+    Returns:
+      grid: ``(B, N, 4)`` int32 (xA, yA, xB, yB) pre-pool grid indices,
+        ``N = k * h2*w2`` (default) or ``h1*w1 * k`` (inverted) — the
+        reference's row ordering for each direction.
+      scores: ``(B, N)`` float32.
+    """
+    b, h1, w1, h2, w2 = corr.shape
+    na, nb = h1 * w1, h2 * w2
+    flat = corr.reshape(b, na, nb)
+    if invert_matching_direction:
+        # reduce over TARGET cells: k best B-cells per A-anchor
+        vals = jax.nn.softmax(flat, axis=2) if do_softmax else flat
+        top_v, top_i = jax.lax.top_k(vals, topk)  # (B, na, k)
+        ib = (top_i // w2).reshape(b, -1)
+        jb = (top_i % w2).reshape(b, -1)
+        ids_a = jnp.arange(na)[None, :, None]
+        ia = jnp.broadcast_to(ids_a // w1, (b, na, topk)).reshape(b, -1)
+        ja = jnp.broadcast_to(ids_a % w1, (b, na, topk)).reshape(b, -1)
+    else:
+        # reduce over SOURCE cells: k best A-cells per B-anchor; the
+        # reference orders rows k-major here (view(b, topk, -1))
+        vals = jax.nn.softmax(flat, axis=1) if do_softmax else flat
+        top_v, top_i = jax.lax.top_k(
+            jnp.swapaxes(vals, 1, 2), topk
+        )  # (B, nb, k)
+        top_v = jnp.swapaxes(top_v, 1, 2)  # (B, k, nb)
+        top_i = jnp.swapaxes(top_i, 1, 2)
+        ia = (top_i // w1).reshape(b, -1)
+        ja = (top_i % w1).reshape(b, -1)
+        ids_b = jnp.arange(nb)[None, None, :]
+        ib = jnp.broadcast_to(ids_b // w2, (b, topk, nb)).reshape(b, -1)
+        jb = jnp.broadcast_to(ids_b % w2, (b, topk, nb)).reshape(b, -1)
+    scores = top_v.reshape(b, -1).astype(jnp.float32)
+
+    ia, ja, ib, jb = _relocate(delta4d, ia, ja, ib, jb, ksize, (w1, h2, w2))
+    grid = jnp.stack([ja, ia, jb, ib], axis=-1).astype(jnp.int32)
+    return grid, scores
 
 
 def mutual_consistency_mask(

@@ -104,3 +104,71 @@ def test_grid_to_pixel_centering():
     np.testing.assert_array_equal(pix[0, 0], [24.0, 40.0, 56.0, 72.0])
     pix = np.asarray(grid_to_pixel(grid, upsample=8, center=False))
     np.testing.assert_array_equal(pix[0, 0], [8.0, 16.0, 24.0, 32.0])
+
+
+def test_corr_to_matches_topk_vs_numpy_oracle(rng):
+    """corr_to_matches_topk reproduces the reference formulas
+    (/root/reference/networks/ncn/extract_ncmatches.py:96-158):
+    softmax over the reduced axis, k best per anchor, row ordering
+    k-major (default) / anchor-major (inverted), delta4d relocation."""
+    from patch2pix_tpu.ops.match_extract import corr_to_matches_topk
+
+    b, h1, w1, h2, w2 = 2, 3, 4, 3, 4
+    corr = rng.standard_normal((b, h1, w1, h2, w2)).astype(np.float32)
+    k = 3
+    for invert in (False, True):
+        grid, scores = corr_to_matches_topk(
+            jnp.asarray(corr), topk=k, do_softmax=True,
+            invert_matching_direction=invert,
+        )
+        flat = corr.reshape(b, h1 * w1, h2 * w2)
+        if invert:
+            e = np.exp(flat - flat.max(axis=2, keepdims=True))
+            sm = e / e.sum(axis=2, keepdims=True)  # softmax over B cells
+            want_rows, want_scores = [], []
+            for bi in range(b):
+                rows, scs = [], []
+                for a in range(h1 * w1):
+                    order = np.argsort(-sm[bi, a])[:k]
+                    for t in order:
+                        rows.append((a % w1, a // w1, t % w2, t // w2))
+                        scs.append(sm[bi, a, t])
+                want_rows.append(rows)
+                want_scores.append(scs)
+        else:
+            e = np.exp(flat - flat.max(axis=1, keepdims=True))
+            sm = e / e.sum(axis=1, keepdims=True)  # softmax over A cells
+            want_rows, want_scores = [], []
+            for bi in range(b):
+                rows = [[] for _ in range(k)]
+                scs = [[] for _ in range(k)]
+                for t in range(h2 * w2):
+                    order = np.argsort(-sm[bi, :, t])[:k]
+                    for ki, a in enumerate(order):
+                        rows[ki].append((a % w1, a // w1, t % w2, t // w2))
+                        scs[ki].append(sm[bi, a, t])
+                want_rows.append([r for kr in rows for r in kr])
+                want_scores.append([s for ks in scs for s in ks])
+        got = np.asarray(grid)
+        np.testing.assert_array_equal(
+            got, np.asarray(want_rows, np.int32).reshape(got.shape)
+        )
+        np.testing.assert_allclose(
+            np.asarray(scores), np.asarray(want_scores, np.float32).reshape(b, -1),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_corr_to_matches_topk_relocation(rng):
+    """delta4d relocation: i*ksize + within-window offset, like
+    corr_to_matches."""
+    from patch2pix_tpu.ops.match_extract import corr_to_matches_topk
+
+    pre = jnp.asarray(rng.standard_normal((1, 4, 4, 4, 4)).astype(np.float32))
+    pooled, delta4d = maxpool4d(pre, ksize=2)
+    grid1, s1 = corr_to_matches_topk(pooled, delta4d=delta4d, topk=1, ksize=2)
+    # against corr_to_matches' direction-1 rows (same k=1 selection)
+    grid_ref, s_ref, _ = corr_to_matches(pooled, delta4d=delta4d, ksize=2)
+    nb = 2 * 2
+    np.testing.assert_array_equal(np.asarray(grid1), np.asarray(grid_ref[:, :nb]))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s_ref[:, :nb]), rtol=1e-5)
