@@ -85,7 +85,9 @@ FUSED_GATHER_MIN_M = int(os.environ.get("P2P_FUSED_MIN_M", "2048"))
 
 
 def _use_fused_gather(m: int) -> bool:
-    return _tpu_backend() and m >= FUSED_GATHER_MIN_M
+    from patch2pix_tpu.ops.dispatch import pallas_allowed
+
+    return _tpu_backend() and pallas_allowed() and m >= FUSED_GATHER_MIN_M
 
 
 def shift_to_anchors(coords: jax.Array, pshift: int, panc: int) -> jax.Array:
@@ -177,7 +179,8 @@ class Patch2Pix(nn.Module):
         """Backbone hypercolumn pyramid [im, conv1, layer1, layer2, layer3]."""
         return self.extract(im, train=train, pyramid=True)
 
-    def extract_pyramid_pair(self, im1, im2, train: bool = False):
+    def extract_pyramid_pair(self, im1, im2, train: bool = False,
+                             stack: bool = True):
         """Both images' pyramids in ONE stacked backbone call.
 
         Exact whenever BN runs on running averages (a per-channel
@@ -186,8 +189,15 @@ class Patch2Pix(nn.Module):
         iteration at 1024x768 vs two separate calls. Batch-stat BN
         (``train=True``) keeps per-image calls so the reference's
         per-image-batch statistics are preserved.
+
+        ``stack=False`` also forces per-image calls: under a
+        data-sharded mesh the cross-pair ``concatenate`` makes XLA
+        reshard the doubled batch (all-to-alls + mesh-growing
+        collective-permutes per step, see BASELINE.md round-4); the
+        training path disables stacking so its compiled step contains
+        ONLY the gradient all-reduce.
         """
-        if train or im1.shape != im2.shape:
+        if train or not stack or im1.shape != im2.shape:
             return (
                 self.extract_pyramid(im1, train=train),
                 self.extract_pyramid(im2, train=train),
@@ -398,7 +408,7 @@ class Patch2Pix(nn.Module):
         cfg = self.config
         r = cfg.regressor
         feats1, feats2 = self.extract_pyramid_pair(
-            im1, im2, train=backbone_train_bn
+            im1, im2, train=backbone_train_bn, stack=False
         )
         corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
         cm = self.coarse_matches(corr, delta4d, ksize, mutual=True, ncn_thres=0.0)

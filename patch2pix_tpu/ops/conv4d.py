@@ -34,6 +34,12 @@ def _tpu_backend() -> bool:
         return False
 
 
+def _pallas_ok() -> bool:
+    from patch2pix_tpu.ops.dispatch import pallas_allowed
+
+    return pallas_allowed()
+
+
 def conv4d(
     x: jax.Array,
     w: jax.Array,
@@ -74,7 +80,7 @@ def conv4d(
         return conv4d_fold_in(x, w, b, out_dtype=out_dtype)
     if k == K_PALLAS and cout <= 2:
         return conv4d_fold_out(x, w, b, out_dtype=out_dtype)
-    if k == K_PALLAS and cout * cin <= 16 and _tpu_backend():
+    if k == K_PALLAS and cout * cin <= 16 and _tpu_backend() and _pallas_ok():
         from patch2pix_tpu.ops.conv4d_pallas import conv4d_pallas
 
         return conv4d_pallas(x, w, b, out_dtype=out_dtype)
@@ -128,26 +134,41 @@ def _flat_shift_masks(h1: int, w1: int, k: int = 3) -> list:
     return masks
 
 
-def _outer_shifts_flat(xf: jax.Array, bs: int, h1: int, w1: int, k: int = 3):
-    """The k^2 outer-tap views of a FULLY-FLAT volume ``(B*h1*w1, ...)``
-    as (masked slice, mask) pairs — no (B, h1, w1) axes ever exist, so
-    no relayout-prone reshapes. Shifts that cross a row (or batch)
-    boundary in the flat index land on cells whose mask is 0 — the same
-    grid-edge condition — so one pad of the flat axis serves every
-    batch. Pads by w1+pad on both ends."""
+def _outer_shifts_flat(xf: jax.Array, h1: int, w1: int, k: int = 3):
+    """The k^2 outer-tap views of a PER-BATCH-FLAT volume
+    ``(B, h1*w1, ...)`` as (masked slice, mask) pairs — no (h1, w1)
+    axes ever exist, so no relayout-prone reshapes (slicing separate
+    spatial axes made XLA's layout assignment relayout the huge NCN
+    volumes, ~8 ms/iter at the change_stride eval scale). Shifts that
+    cross a row boundary in the flat index land on cells whose mask is
+    0 — the grid-edge condition. The batch dim stays its own axis:
+    merging it into the flat index made the shifts cross PAIR
+    boundaries, which under a data-sharded mesh lowered as per-step
+    halo collective-permutes (the train step must move only the
+    gradient all-reduce). Pads axis 1 by w1+pad on both ends."""
     pad = k // 2
     p = pad * w1 + pad  # max |flat shift|
-    n = bs * h1 * w1
-    xp = jnp.pad(xf, ((p, p),) + ((0, 0),) * (xf.ndim - 1))
+    n = h1 * w1
+    xp = jnp.pad(
+        xf, ((0, 0), (p, p)) + ((0, 0),) * (xf.ndim - 2)
+    )
     masks = _flat_shift_masks(h1, w1, k)
     out = []
     for t, mask in enumerate(masks):
         di, dj = t // k, t % k
         s = (di - pad) * w1 + (dj - pad)
-        view = jax.lax.slice_in_dim(xp, p + s, p + s + n, axis=0)
-        m = jnp.asarray(np.tile(mask, bs))
-        out.append((view, m))
+        view = jax.lax.slice_in_dim(xp, p + s, p + s + n, axis=1)
+        out.append((view, jnp.asarray(mask)))
     return out
+
+
+def _tap_sum_feasible(n: int, row_bytes: int) -> bool:
+    """True iff the Pallas tap-sum kernel can pick a block size for
+    this shape (ops/tap_sum_pallas.py _pick_nb returns 0 when no
+    multiple-of-8 divisor of n fits its VMEM budget)."""
+    from patch2pix_tpu.ops.tap_sum_pallas import _pick_nb
+
+    return _pick_nb(n, row_bytes) > 0
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -215,16 +236,16 @@ def conv4d_fold_in(
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
     # masked FLAT shifts (see _flat_shift_masks): exactly the zero-padded
-    # 9 outer-tap views, but sliced along the merged (B*h1*w1) axis so
+    # 9 outer-tap views, but sliced along a per-batch (h1*w1) axis so
     # no 6D reshape/relayout ever touches the volume
-    xf = x.reshape(bs * h1 * w1, h2, w2, cin)
+    xf = x.reshape(bs, h1 * w1, h2, w2, cin)
     xs9 = jnp.concatenate(
         [
-            v * m[:, None, None, None].astype(v.dtype)
-            for v, m in _outer_shifts_flat(xf, bs, h1, w1, k)
+            v * m[None, :, None, None, None].astype(v.dtype)
+            for v, m in _outer_shifts_flat(xf, h1, w1, k)
         ],
         axis=-1,
-    )  # (B*h1*w1, h2, w2, 9*cin)
+    ).reshape(bs * h1 * w1, h2, w2, k * k * cin)
     # W[dk, dl, (t, ci), co] = w[di(t), dj(t), dk, dl, ci, co]
     wf = w.transpose(2, 3, 0, 1, 4, 5).reshape(k, k, k * k * cin, cout)
     out = jax.lax.conv_general_dilated(
@@ -289,11 +310,14 @@ def conv4d_fold_out(
     # layer-output storage; the tap-sum below still accumulates in f32
     n = bs * h1 * w1
     if (
-        cout == 1 and _tpu_backend() and n % 8 == 0
+        cout == 1 and _tpu_backend() and n % 8 == 0 and _pallas_ok()
         # Mosaic DMA windows must be lane-aligned: the flattened minor
         # (h2*w2) dim must fill whole 128-lane tiles (true at every
         # snapped eval/train scale; tiny init shapes take the jnp path)
         and (h2 * w2) % 128 == 0
+        # and a multiple-of-8 block must fit the kernel's VMEM budget
+        # (an unusually large h2*w2 row can make every nb infeasible)
+        and _tap_sum_feasible(n, h2 * w2 * z.dtype.itemsize)
     ):
         # Pallas masked shift-add: one DMA'd read of z + one write of
         # the output. The jnp pad/slice chain below is exact too, but
@@ -307,24 +331,28 @@ def conv4d_fold_out(
             bs, h1, w1, h2, w2, 1
         )
         return out if out_dtype is None else out.astype(out_dtype)
-    z = z.reshape(k * k, cout, n, h2, w2)
-    # masked FLAT shift-adds (see _flat_shift_masks): slicing the merged
-    # (B*h1*w1) axis — the conv output's own batch dim — instead of
-    # separate (h1, w1) axes keeps the slices on the layout XLA gave the
-    # conv output; the 6D reshape + relayout copies this replaces cost
-    # ~6 ms/iter at change_stride eval scale
+    z = z.reshape(k * k, cout, bs, h1 * w1, h2, w2)
+    # masked FLAT shift-adds (see _flat_shift_masks): slicing a
+    # per-batch (h1*w1) axis instead of separate (h1, w1) axes keeps
+    # the slices on the layout XLA gave the conv output (the 6D
+    # reshape + relayout copies this replaces cost ~6 ms/iter at
+    # change_stride eval scale); keeping the batch dim separate keeps
+    # the shifts from crossing pair boundaries (no halo collectives
+    # under a data-sharded mesh)
     pad = k // 2
     p = pad * w1 + pad
-    zp = jnp.pad(z, ((0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
     masks = _flat_shift_masks(h1, w1, k)
     out = None
     for t in range(k * k):
         di, dj = t // k, t % k
         s = (di - pad) * w1 + (dj - pad)
-        shifted = jax.lax.slice_in_dim(zp[t], p + s, p + s + n, axis=1)
+        shifted = jax.lax.slice_in_dim(
+            zp[t], p + s, p + s + h1 * w1, axis=2
+        )
         shifted = shifted.astype(jnp.float32) * jnp.asarray(
-            np.tile(masks[t], bs), jnp.float32
-        )[None, :, None, None]
+            masks[t], jnp.float32
+        )[None, None, :, None, None]
         out = shifted if out is None else out + shifted
     out = out.reshape(cout, bs, h1, w1, h2, w2)
     out = jnp.moveaxis(out, 0, -1)  # (B, h1, w1, h2, w2, cout)

@@ -60,11 +60,14 @@ def corr_pool_supported(
     min_prepool_bytes: int = MIN_PREPOOL_BYTES,
 ) -> bool:
     """Static dispatch guard for the fused kernel."""
+    from patch2pix_tpu.ops.dispatch import pallas_allowed
+
     b, h1, w1, c = feat1.shape
     _, h2, w2, c2 = feat2.shape
     prepool_bytes = h1 * w1 * h2 * w2 * 4  # f32, per batch element
     return (
-        ksize == KSIZE
+        pallas_allowed()
+        and ksize == KSIZE
         and c == c2
         and c % 128 == 0
         and h1 % 2 == 0 and w1 % 2 == 0 and h2 % 2 == 0 and w2 % 2 == 0

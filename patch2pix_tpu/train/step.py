@@ -101,15 +101,36 @@ def make_sharded_train_step(model, tx, mesh: Mesh, **kwargs):
     Gradients reduce over ICI automatically (XLA inserts the psum for
     the replicated-out params); no hand-written collectives needed for
     data parallelism — the scaling-book recipe.
+
+    Traces under ``no_pallas()``: Pallas custom calls are opaque to the
+    SPMD partitioner (their operands would be all-gathered onto every
+    device), so the sharded step uses the pure-XLA op formulations.
+    With those, the compiled step's ONLY collective is the gradient
+    all-reduce (asserted in tests/test_train_step.py).
     """
+    from patch2pix_tpu.ops.dispatch import no_pallas
+
     step = make_train_step(model, tx, **kwargs)
     repl = NamedSharding(mesh, P())
     batch_sh = {
         k: NamedSharding(mesh, v) for k, v in shard_batch_spec().items()
     }
-    return jax.jit(
+    jitted = jax.jit(
         step,
         in_shardings=(repl, batch_sh, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+    class _ShardedStep:
+        """Callable + .lower, with dispatch gated during tracing."""
+
+        def __call__(self, *args):
+            with no_pallas():
+                return jitted(*args)
+
+        def lower(self, *args):
+            with no_pallas():
+                return jitted.lower(*args)
+
+    return _ShardedStep()
