@@ -134,31 +134,45 @@ def _flat_shift_masks(h1: int, w1: int, k: int = 3) -> list:
     return masks
 
 
-def _outer_shifts_flat(xf: jax.Array, h1: int, w1: int, k: int = 3):
-    """The k^2 outer-tap views of a PER-BATCH-FLAT volume
-    ``(B, h1*w1, ...)`` as (masked slice, mask) pairs — no (h1, w1)
-    axes ever exist, so no relayout-prone reshapes (slicing separate
-    spatial axes made XLA's layout assignment relayout the huge NCN
-    volumes, ~8 ms/iter at the change_stride eval scale). Shifts that
-    cross a row boundary in the flat index land on cells whose mask is
-    0 — the grid-edge condition. The batch dim stays its own axis:
-    merging it into the flat index made the shifts cross PAIR
-    boundaries, which under a data-sharded mesh lowered as per-step
-    halo collective-permutes (the train step must move only the
-    gradient all-reduce). Pads axis 1 by w1+pad on both ends."""
+def _spmd_mode() -> bool:
+    from patch2pix_tpu.ops.dispatch import spmd_mode
+
+    return spmd_mode()
+
+
+def _outer_shifts_flat(
+    xf: jax.Array, bs: int, h1: int, w1: int, k: int = 3
+):
+    """The k^2 outer-tap views of a FLAT volume as (slice, mask) pairs —
+    no (h1, w1) axes ever exist, so no relayout-prone reshapes (slicing
+    separate spatial axes made XLA's layout assignment relayout the
+    huge NCN volumes, ~8 ms/iter at the change_stride eval scale).
+    Shifts that cross a row boundary in the flat index land on cells
+    whose mask is 0 — the grid-edge condition.
+
+    Single chip: ``xf`` is fully flat ``(B*h1*w1, ...)`` and shifts
+    slice axis 0 (one pad serves every batch; batch-boundary crossings
+    are masked like row crossings). SPMD mode: ``xf`` is per-batch flat
+    ``(B, h1*w1, ...)`` and shifts slice axis 1 — merged-flat shifts
+    cross PAIR boundaries, which under a data-sharded mesh lower as
+    per-step halo collective-permutes (the train step must move only
+    the gradient all-reduce)."""
     pad = k // 2
     p = pad * w1 + pad  # max |flat shift|
-    n = h1 * w1
-    xp = jnp.pad(
-        xf, ((0, 0), (p, p)) + ((0, 0),) * (xf.ndim - 2)
-    )
     masks = _flat_shift_masks(h1, w1, k)
+    spmd = _spmd_mode()
+    axis = 1 if spmd else 0
+    n = h1 * w1 if spmd else bs * h1 * w1
+    padw = [(0, 0)] * xf.ndim
+    padw[axis] = (p, p)
+    xp = jnp.pad(xf, padw)
     out = []
     for t, mask in enumerate(masks):
         di, dj = t // k, t % k
         s = (di - pad) * w1 + (dj - pad)
-        view = jax.lax.slice_in_dim(xp, p + s, p + s + n, axis=1)
-        out.append((view, jnp.asarray(mask)))
+        view = jax.lax.slice_in_dim(xp, p + s, p + s + n, axis=axis)
+        m = jnp.asarray(mask if spmd else np.tile(mask, bs))
+        out.append((view, m))
     return out
 
 
@@ -235,17 +249,27 @@ def conv4d_fold_in(
     assert k == 3, f"fold-in path is k=3 only, got {w.shape}"
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
-    # masked FLAT shifts (see _flat_shift_masks): exactly the zero-padded
-    # 9 outer-tap views, but sliced along a per-batch (h1*w1) axis so
-    # no 6D reshape/relayout ever touches the volume
-    xf = x.reshape(bs, h1 * w1, h2, w2, cin)
-    xs9 = jnp.concatenate(
-        [
-            v * m[None, :, None, None, None].astype(v.dtype)
-            for v, m in _outer_shifts_flat(xf, h1, w1, k)
-        ],
-        axis=-1,
-    ).reshape(bs * h1 * w1, h2, w2, k * k * cin)
+    # masked FLAT shifts (see _outer_shifts_flat): exactly the
+    # zero-padded 9 outer-tap views, sliced along a flat axis so no 6D
+    # reshape/relayout ever touches the volume
+    if _spmd_mode():
+        xf = x.reshape(bs, h1 * w1, h2, w2, cin)
+        xs9 = jnp.concatenate(
+            [
+                v * m[None, :, None, None, None].astype(v.dtype)
+                for v, m in _outer_shifts_flat(xf, bs, h1, w1, k)
+            ],
+            axis=-1,
+        ).reshape(bs * h1 * w1, h2, w2, k * k * cin)
+    else:
+        xf = x.reshape(bs * h1 * w1, h2, w2, cin)
+        xs9 = jnp.concatenate(
+            [
+                v * m[:, None, None, None].astype(v.dtype)
+                for v, m in _outer_shifts_flat(xf, bs, h1, w1, k)
+            ],
+            axis=-1,
+        )  # (B*h1*w1, h2, w2, 9*cin)
     # W[dk, dl, (t, ci), co] = w[di(t), dj(t), dk, dl, ci, co]
     wf = w.transpose(2, 3, 0, 1, 4, 5).reshape(k, k, k * k * cin, cout)
     out = jax.lax.conv_general_dilated(
@@ -331,28 +355,37 @@ def conv4d_fold_out(
             bs, h1, w1, h2, w2, 1
         )
         return out if out_dtype is None else out.astype(out_dtype)
-    z = z.reshape(k * k, cout, bs, h1 * w1, h2, w2)
-    # masked FLAT shift-adds (see _flat_shift_masks): slicing a
-    # per-batch (h1*w1) axis instead of separate (h1, w1) axes keeps
-    # the slices on the layout XLA gave the conv output (the 6D
-    # reshape + relayout copies this replaces cost ~6 ms/iter at
-    # change_stride eval scale); keeping the batch dim separate keeps
-    # the shifts from crossing pair boundaries (no halo collectives
-    # under a data-sharded mesh)
+    # masked FLAT shift-adds (see _outer_shifts_flat): slicing a flat
+    # axis instead of separate (h1, w1) axes keeps the slices on the
+    # layout XLA gave the conv output (the 6D reshape + relayout copies
+    # this replaces cost ~6 ms/iter at change_stride eval scale). SPMD
+    # mode keeps the batch dim separate so the shifts never cross pair
+    # boundaries (no halo collectives under a data-sharded mesh).
     pad = k // 2
     p = pad * w1 + pad
-    zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
     masks = _flat_shift_masks(h1, w1, k)
+    spmd = _spmd_mode()
+    if spmd:
+        z = z.reshape(k * k, cout, bs, h1 * w1, h2, w2)
+        zp = jnp.pad(z, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
+    else:
+        z = z.reshape(k * k, cout, n, h2, w2)
+        zp = jnp.pad(z, ((0, 0), (0, 0), (p, p), (0, 0), (0, 0)))
     out = None
     for t in range(k * k):
         di, dj = t // k, t % k
         s = (di - pad) * w1 + (dj - pad)
-        shifted = jax.lax.slice_in_dim(
-            zp[t], p + s, p + s + h1 * w1, axis=2
-        )
-        shifted = shifted.astype(jnp.float32) * jnp.asarray(
-            masks[t], jnp.float32
-        )[None, None, :, None, None]
+        if spmd:
+            shifted = jax.lax.slice_in_dim(
+                zp[t], p + s, p + s + h1 * w1, axis=2
+            )
+            m = jnp.asarray(masks[t], jnp.float32)[None, None, :, None, None]
+        else:
+            shifted = jax.lax.slice_in_dim(zp[t], p + s, p + s + n, axis=1)
+            m = jnp.asarray(
+                np.tile(masks[t], bs), jnp.float32
+            )[None, :, None, None]
+        shifted = shifted.astype(jnp.float32) * m
         out = shifted if out is None else out + shifted
     out = out.reshape(cout, bs, h1, w1, h2, w2)
     out = jnp.moveaxis(out, 0, -1)  # (B, h1, w1, h2, w2, cout)

@@ -36,6 +36,7 @@ def make_train_step(
     weight_cls: float = 10.0,
     weight_epi=(1.0, 1.0),
     backbone_train_bn: bool = False,
+    remat: str = "both",
 ):
     """Build ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -53,6 +54,7 @@ def make_train_step(
             ptmax=ptmax,
             train=True,
             backbone_train_bn=backbone_train_bn,
+            remat=remat,
             rngs={"proposal": rng},
             mutable=["batch_stats"],
         )
@@ -108,7 +110,7 @@ def make_sharded_train_step(model, tx, mesh: Mesh, **kwargs):
     With those, the compiled step's ONLY collective is the gradient
     all-reduce (asserted in tests/test_train_step.py).
     """
-    from patch2pix_tpu.ops.dispatch import no_pallas
+    from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch as no_pallas
 
     step = make_train_step(model, tx, **kwargs)
     repl = NamedSharding(mesh, P())

@@ -117,3 +117,35 @@ def test_tap_sum_vjp_matches_autodiff(rng):
     dz_ref, db_ref = vjp_ref(g)
     np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_fold_paths_exact_in_spmd_mode(rng):
+    """The per-batch-flat SPMD formulations equal the merged-flat
+    single-chip ones (and the direct-tap oracle)."""
+    from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch
+    from patch2pix_tpu.ops.conv4d import (
+        conv4d_fold_in, conv4d_fold_out, conv4d_xla_taps,
+    )
+
+    x1 = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 4, 1)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 1, 4)), jnp.float32)
+    x2 = jnp.asarray(rng.standard_normal((2, 4, 5, 3, 4, 4)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4, 1)), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(4), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(1), jnp.float32)
+
+    plain_in = conv4d_fold_in(x1, w1, b1)
+    plain_out = conv4d_fold_out(x2, w2, b2)
+    with spmd_safe_dispatch():
+        spmd_in = conv4d_fold_in(x1, w1, b1)
+        spmd_out = conv4d_fold_out(x2, w2, b2)
+    np.testing.assert_allclose(np.asarray(spmd_in), np.asarray(plain_in),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(spmd_out), np.asarray(plain_out),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(spmd_in),
+                               np.asarray(conv4d_xla_taps(x1, w1, b1)),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(spmd_out),
+                               np.asarray(conv4d_xla_taps(x2, w2, b2)),
+                               rtol=1e-4, atol=1e-4)
