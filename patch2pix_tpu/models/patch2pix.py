@@ -400,10 +400,20 @@ class Patch2Pix(nn.Module):
         ptmax: int = 400,
         train: bool = True,
         backbone_train_bn: bool = False,
+        remat: str = "both",
     ):
         """Training forward: coarse -> ptmax sample -> anchors -> mid -> fine.
 
         Returns a dict with every tensor the loss needs; all fixed-shape.
+
+        ``remat``: rematerialisation of the regression stages — the
+        (B, ptmax*panc, 16, 16, D) patch tensors and regressor
+        activations dominate training memory (the reference needed a
+        48 GB GPU for batch 4, README.md:82-84). "both" (default)
+        replays both stages in the backward; "fine"/"none" trade
+        memory back for time; "dots" applies
+        ``jax.checkpoint_policies.dots_with_no_batch_dims_saveable``
+        (matmul outputs saved, elementwise recomputed).
         """
         cfg = self.config
         r = cfg.regressor
@@ -415,16 +425,24 @@ class Patch2Pix(nn.Module):
         key = self.make_rng("proposal")
         sel = select_ptmax(key, cm.coords, cm.scores, cm.valid, ptmax)
         anchors = shift_to_anchors(sel.coords, r.pshift, r.panc)
-        # remat both regression stages: the (B, ptmax*panc, 16, 16, D)
-        # patch tensors and regressor activations dominate training
-        # memory (the reference needed a 48GB GPU for batch 4,
-        # README.md:82-84); recomputing them in the backward trades
-        # ~30% stage FLOPs for multi-GB savings
-        fine_match_ckpt = nn.remat(
-            Patch2Pix.fine_match, static_argnums=(4, 5, 6)
+        if remat in ("both", "fine"):
+            fine_match_ckpt = nn.remat(
+                Patch2Pix.fine_match, static_argnums=(4, 5, 6)
+            )
+        elif remat == "dots":
+            fine_match_ckpt = nn.remat(
+                Patch2Pix.fine_match, static_argnums=(4, 5, 6),
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif remat == "none":
+            fine_match_ckpt = Patch2Pix.fine_match
+        else:
+            raise ValueError(f"unknown remat mode {remat!r}")
+        mid_ckpt = (
+            Patch2Pix.fine_match if remat == "fine" else fine_match_ckpt
         )
         tiles1, tiles2 = self._shared_tiles(feats1, feats2)
-        mid_matches, mid_probs = fine_match_ckpt(
+        mid_matches, mid_probs = mid_ckpt(
             self, feats1, feats2, anchors, "mid", train, False,
             tiles1, tiles2,
         )

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--ptmax", type=int, default=400)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=6)
+    ap.add_argument("--remat", default="both",
+                    choices=["both", "fine", "none", "dots"])
     args = ap.parse_args()
 
     from patch2pix_tpu.config import ModelConfig, OptimConfig
@@ -47,7 +49,8 @@ def main():
         image_shape=(1, 96, 128, 3),
     )
     tx = make_optimizer(optim_cfg, state.params)
-    step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax)
+    step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax,
+                           remat=args.remat)
 
     batch = {
         k: jnp.asarray(v)
@@ -82,9 +85,14 @@ def main():
     t_lo = timed(args.lo)
     t_hi = timed(args.hi)
     ms = (t_hi - t_lo) / (args.hi - args.lo) * 1e3
+    mem = ""
+    stats = getattr(jax.devices()[0], "memory_stats", lambda: None)()
+    if stats and "peak_bytes_in_use" in stats:
+        mem = f", peak {stats['peak_bytes_in_use'] / 1e9:.2f} GB"
     print(f"train step: {ms:.1f} ms/step = "
           f"{args.batch / ms * 1e3:.2f} pairs/s/chip "
-          f"(batch {args.batch}, {args.wt}x{args.ht}, ptmax {args.ptmax})")
+          f"(batch {args.batch}, {args.wt}x{args.ht}, ptmax {args.ptmax}, "
+          f"remat {args.remat}{mem})")
 
 
 if __name__ == "__main__":
