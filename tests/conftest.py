@@ -23,6 +23,14 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: validation-scale parity tests (minutes on CPU); "
+        "deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

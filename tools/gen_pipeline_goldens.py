@@ -29,41 +29,99 @@ CASES = {
     # covers the full 480x320 scale
     "s16": dict(change_stride=False, batch=2, h=128, w=192),
     "cs": dict(change_stride=True, batch=1, h=128, w=192),
+    # validation-scale (max dim 1024) cases: pin the fast paths that
+    # only engage at scale — fine_cap compaction, fused expansion
+    # (M >= 2048), tap-sum alignment gates, one-hot gather — against
+    # the reference (/root/reference/networks/patch2pix.py:250-276)
+    "s16_1024": dict(change_stride=False, batch=1, h=768, w=1024),
+    "cs_1024": dict(change_stride=True, batch=1, h=512, w=1024),
+    # panc=8 TRAINING forward (anchor expansion + both regression
+    # stages over the full unfiltered coarse set — the reference's
+    # hot-loop path with ptmax=0, where filter_coarse is skipped
+    # entirely, train_patch2pix.py:100-118); M = 2*h1w1*8 >= 2048
+    # engages the fused expansion
+    "train_panc8": dict(
+        change_stride=False, batch=1, h=320, w=480, mode="train", panc=8
+    ),  # M = 2*(10*15)*8 = 2400 proposals >= the fused-expansion gate
 }
 SEED = 0
 IM_SEED = 10
 
 
-def main():
+def run_reference_train_forward(net, t1, t2, ksize=2):
+    """The reference training forward WITHOUT proposal sampling:
+    forward -> cal_coarse_matches -> shift_to_anchors (panc=8) ->
+    mid regress -> fine regress (train_patch2pix.py:97-118 with
+    ptmax=0, which skips filter_coarse)."""
     import torch
+
+    with torch.no_grad():
+        corr4d, delta4d, feats1, feats2 = net.forward(
+            t1, t2, ksize=ksize, return_feats=True
+        )
+        coarse, scores = net.cal_coarse_matches(
+            corr4d, delta4d, ksize=ksize, upsample=net.upsample, center=True
+        )
+        anchors = net.shift_to_anchors(coarse)
+        mid, midp = net.forward_fine_match(
+            feats1, feats2, anchors, psize=net.psize[0],
+            ptype=net.ptype[0], regressor=net.regress_mid,
+        )
+        fine, finep = net.forward_fine_match(
+            feats1, feats2, mid, psize=net.psize[1],
+            ptype=net.ptype[1], regressor=net.regress_fine,
+        )
+    return anchors, mid, midp, fine, finep
+
+
+def main():
+    import argparse
+
+    import torch
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of case tags to (re)generate")
+    args = ap.parse_args()
 
     os.makedirs(FIXDIR, exist_ok=True)
     for tag, case in CASES.items():
-        net, _ = build_reference_model(case["change_stride"], seed=SEED)
+        if args.only and tag not in args.only:
+            continue
+        panc = case.get("panc", 1)
+        net, _ = build_reference_model(
+            case["change_stride"], seed=SEED, panc=panc
+        )
         im1 = seeded_images(case["batch"], case["h"], case["w"], seed=IM_SEED)
         im2 = seeded_images(case["batch"], case["h"], case["w"], seed=IM_SEED + 1)
         t1 = torch.from_numpy(im1.transpose(0, 3, 1, 2))
         t2 = torch.from_numpy(im2.transpose(0, 3, 1, 2))
-        with torch.no_grad():
-            rf, rfs, rm, rms, rc = net.predict_fine(
-                t1, t2, ksize=2, ncn_thres=0.0, mutual=True, return_all=True
-            )
+        if case.get("mode") == "train":
+            rc, rm, rms, rf, rfs = run_reference_train_forward(net, t1, t2)
+        else:
+            with torch.no_grad():
+                rf, rfs, rm, rms, rc = net.predict_fine(
+                    t1, t2, ksize=2, ncn_thres=0.0, mutual=True,
+                    return_all=True,
+                )
         arrays = {}
         for b in range(case["batch"]):
-            arrays[f"coarse_{b}"] = rc[b].cpu().numpy()
-            arrays[f"mid_{b}"] = rm[b].cpu().numpy()
-            arrays[f"mid_scores_{b}"] = rms[b].cpu().numpy()
-            arrays[f"fine_{b}"] = rf[b].cpu().numpy()
-            arrays[f"fine_scores_{b}"] = rfs[b].cpu().numpy()
+            arrays[f"coarse_{b}"] = np.asarray(rc[b].cpu(), np.float32)
+            arrays[f"mid_{b}"] = np.asarray(rm[b].cpu(), np.float32)
+            arrays[f"mid_scores_{b}"] = np.asarray(rms[b].cpu(), np.float32)
+            arrays[f"fine_{b}"] = np.asarray(rf[b].cpu(), np.float32)
+            arrays[f"fine_scores_{b}"] = np.asarray(rfs[b].cpu(), np.float32)
         meta = dict(
             seed=SEED, im_seed=IM_SEED, batch=case["batch"],
             h=case["h"], w=case["w"], change_stride=case["change_stride"],
+            mode=case.get("mode", "eval"), panc=panc,
             shapes={k: list(s) for k, s in state_dict_shapes(net).items()},
         )
         path = os.path.join(FIXDIR, f"pipeline_golden_{tag}.npz")
         np.savez_compressed(path, meta=json.dumps(meta), **arrays)
-        n = [len(rc[b]) for b in range(case["batch"])]
-        print(f"{path}: matches per batch {n}, {os.path.getsize(path)} bytes")
+        n = [len(arrays[f"coarse_{b}"]) for b in range(case["batch"])]
+        print(f"{path}: matches per batch {n}, {os.path.getsize(path)} bytes",
+              flush=True)
 
 
 if __name__ == "__main__":
