@@ -400,7 +400,7 @@ class Patch2Pix(nn.Module):
         ptmax: int = 400,
         train: bool = True,
         backbone_train_bn: bool = False,
-        remat: str = "both",
+        remat: str = "none",
     ):
         """Training forward: coarse -> ptmax sample -> anchors -> mid -> fine.
 
@@ -409,11 +409,12 @@ class Patch2Pix(nn.Module):
         ``remat``: rematerialisation of the regression stages — the
         (B, ptmax*panc, 16, 16, D) patch tensors and regressor
         activations dominate training memory (the reference needed a
-        48 GB GPU for batch 4, README.md:82-84). "both" (default)
-        replays both stages in the backward; "fine"/"none" trade
-        memory back for time; "dots" applies
-        ``jax.checkpoint_policies.dots_with_no_batch_dims_saveable``
-        (matmul outputs saved, elementwise recomputed).
+        48 GB GPU for batch 4, README.md:82-84). Measured at that
+        best-model scale on 1x 16 GB v5e (BASELINE.md round-4):
+        "none" 372.9 ms/step (fits comfortably after the round-2/3
+        activation-size reductions — default), "fine" 487.4, "both"
+        602.7, "dots" 601.6. Use "fine"/"both" to trade time back for
+        memory at larger batch/ptmax.
         """
         cfg = self.config
         r = cfg.regressor

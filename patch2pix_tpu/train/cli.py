@@ -78,6 +78,14 @@ def parse_args(argv=None):
     p.add_argument("--dtype", choices=["float32", "bfloat16"],
                    default="float32", help="compute dtype (params stay f32)")
     p.add_argument(
+        "--remat", default="auto",
+        choices=["auto", "none", "fine", "both", "dots"],
+        help="rematerialisation of the regression stages: 'none' is "
+        "fastest (372.9 vs 602.7 ms/step at best-model scale) and fits "
+        "a 16 GB chip at batch 4; 'auto' (default) picks none/both by "
+        "the proposal volume; 'fine'/'both' trade step time for memory",
+    )
+    p.add_argument(
         "--backbone_train_bn", action="store_true",
         help="use batch statistics in the frozen backbone's BatchNorms "
         "during training, like the reference's net.train() does "
@@ -273,6 +281,7 @@ def main(argv=None):
         weight_cls=args.weight_cls,
         weight_epi=tuple(args.weight_epi),
         backbone_train_bn=args.backbone_train_bn,
+        remat=args.remat,
     )
     batch_sharding = None
     if n_dev > 1:

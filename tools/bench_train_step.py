@@ -32,8 +32,8 @@ def main():
     ap.add_argument("--ptmax", type=int, default=400)
     ap.add_argument("--lo", type=int, default=2)
     ap.add_argument("--hi", type=int, default=6)
-    ap.add_argument("--remat", default="both",
-                    choices=["both", "fine", "none", "dots"])
+    ap.add_argument("--remat", default="auto",
+                    choices=["auto", "both", "fine", "none", "dots"])
     args = ap.parse_args()
 
     from patch2pix_tpu.config import ModelConfig, OptimConfig
