@@ -72,10 +72,10 @@ def build(change_stride: bool = False):
     return variables, predict_loop
 
 
-def measure(change_stride: bool) -> float:
+def measure(change_stride: bool, batch: int = BATCH) -> float:
     variables, predict_loop = build(change_stride)
-    im1 = jax.random.normal(jax.random.PRNGKey(1), (BATCH, H, W, 3), jnp.float32)
-    im2 = jax.random.normal(jax.random.PRNGKey(2), (BATCH, H, W, 3), jnp.float32)
+    im1 = jax.random.normal(jax.random.PRNGKey(1), (batch, H, W, 3), jnp.float32)
+    im2 = jax.random.normal(jax.random.PRNGKey(2), (batch, H, W, 3), jnp.float32)
 
     def timed(iters):
         float(predict_loop(variables, im1, im2, iters))  # compile + warm
@@ -89,7 +89,7 @@ def measure(change_stride: bool) -> float:
     t_lo = timed(ITERS_LO)
     t_hi = timed(ITERS_HI)
     per_iter = (t_hi - t_lo) / (ITERS_HI - ITERS_LO)
-    return BATCH / per_iter
+    return batch / per_iter
 
 
 def main():
@@ -99,6 +99,11 @@ def main():
     # volume at the same image size — reported alongside the headline
     # so both deployment configs have tracked numbers
     pairs_per_s_cs = measure(change_stride=True)
+    # serving-batch winners from the round-4 batch sweep (BASELINE.md:
+    # u16 B=1 56.2 / B=2 49.9; cs B=4 26.4 / B=2 25.8): the latency-
+    # optimal u16 batch is 1 and the cs throughput-optimal batch is 4
+    pairs_per_s_b1 = measure(change_stride=False, batch=1)
+    pairs_per_s_cs_b4 = measure(change_stride=True, batch=4)
 
     vs = pairs_per_s / BENCH_BASELINE if BENCH_BASELINE else 1.0
     print(
@@ -112,6 +117,12 @@ def main():
                     f"change_stride_pairs_per_s_chip_{W}x{H}": round(
                         pairs_per_s_cs, 4
                     ),
+                    "best_batch_pairs_per_s_chip": round(pairs_per_s_b1, 4),
+                    "best_batch": 1,
+                    "change_stride_best_batch_pairs_per_s_chip": round(
+                        pairs_per_s_cs_b4, 4
+                    ),
+                    "change_stride_best_batch": 4,
                 },
             }
         )

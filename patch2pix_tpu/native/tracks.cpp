@@ -4,11 +4,16 @@
 // the host runtime merges millions of match endpoints into tracks).
 // Same semantics as patch2pix_tpu/sfm/tracks.py::build_tracks —
 // quantize endpoints to per-image grid cells, union-find nodes
-// connected by matches, emit per-(track, image) mean coordinates,
-// dropping tracks shorter than min_track_len or observing an image in
-// two different cells. The Python implementation is the reference;
-// this one is ~100x faster on real scene-scale inputs (see
-// tests/test_native_tracks.py for exact-parity checks).
+// connected by matches, emit per-(track, image) mean coordinates.
+// Conflict policy is observation-level: an image observed in two
+// different cells of one component has ONLY that image's observations
+// dropped (an outlier edge merging two real tracks, or a point
+// straddling a cell boundary); the track survives if min_track_len
+// distinct images remain. Dropping the whole track made outlier
+// contamination collapse scene-scale reconstruction (every large
+// component carries some outlier edge). The Python implementation is
+// the reference; this one is ~100x faster on real scene-scale inputs
+// (see tests/test_native_tracks.py for exact-parity checks).
 //
 // C ABI only (loaded via ctypes): no pybind11 dependency.
 
@@ -27,11 +32,19 @@ struct NodeData {
 };
 
 struct UnionFind {
+  // image-conflict-aware union-find (mirrors sfm/tracks.py): a union
+  // that would give a component two different cells in one image is
+  // rejected — the edge is treated as an outlier. `images[root]` maps
+  // image id -> node id for the component, merged small-to-large.
   std::vector<int32_t> parent;
+  std::vector<std::unordered_map<int32_t, int32_t>> images;
 
-  int32_t make() {
-    parent.push_back((int32_t)parent.size());
-    return (int32_t)parent.size() - 1;
+  int32_t make(int32_t im) {
+    const int32_t id = (int32_t)parent.size();
+    parent.push_back(id);
+    images.emplace_back();
+    images.back().emplace(im, id);
+    return id;
   }
   int32_t find(int32_t x) {
     int32_t root = x;
@@ -43,10 +56,24 @@ struct UnionFind {
     }
     return root;
   }
-  void unite(int32_t a, int32_t b) {
+  bool unite(int32_t a, int32_t b) {
     a = find(a);
     b = find(b);
-    if (a != b) parent[b] = a;  // same attach order as the Python UF
+    if (a == b) return true;
+    auto* ia = &images[(size_t)a];
+    auto* ib = &images[(size_t)b];
+    if (ib->size() > ia->size()) {  // small-to-large
+      std::swap(a, b);
+      std::swap(ia, ib);
+    }
+    for (auto& kv : *ib) {
+      auto it = ia->find(kv.first);
+      if (it != ia->end() && it->second != kv.second) return false;
+    }
+    for (auto& kv : *ib) ia->emplace(kv.first, kv.second);
+    parent[b] = a;
+    ib->clear();
+    return true;
   }
 };
 
@@ -79,7 +106,7 @@ int64_t p2p_build_tracks(const int32_t* im1, const int32_t* im2,
     const int64_t key = cell_key(im, x, y, cell);
     auto it = node_of.find(key);
     if (it != node_of.end()) return it->second;
-    const int32_t id = uf.make();
+    const int32_t id = uf.make(im);
     node_of.emplace(key, id);
     data.push_back(NodeData{});
     data.back().im = im;
@@ -91,7 +118,7 @@ int64_t p2p_build_tracks(const int32_t* im1, const int32_t* im2,
     const double x2 = matches[4 * i + 2], y2 = matches[4 * i + 3];
     const int32_t n1 = get_node(im1[i], x1, y1);
     const int32_t n2 = get_node(im2[i], x2, y2);
-    uf.unite(n1, n2);
+    if (!uf.unite(n1, n2)) continue;  // rejected outlier edge
     data[n1].sx += x1;
     data[n1].sy += y1;
     data[n1].cnt += 1;
@@ -114,15 +141,16 @@ int64_t p2p_build_tracks(const int32_t* im1, const int32_t* im2,
   for (auto& kv : groups) {
     auto& nodes = kv.second;
     ims_seen.clear();
-    bool dup = false;
+    for (int32_t v : nodes)
+      if (data[v].cnt > 0) ++ims_seen[data[v].im];
+    // belt-and-braces observation-level conflict resolution (the
+    // conflict-aware union keeps components image-consistent already)
+    int32_t n_ok = 0;
+    for (auto& ic : ims_seen)
+      if (ic.second == 1) ++n_ok;
+    if (n_ok < min_track_len) continue;
     for (int32_t v : nodes) {
-      if (++ims_seen[data[v].im] > 1) {
-        dup = true;  // image observed in two cells -> inconsistent
-        break;
-      }
-    }
-    if (dup || (int32_t)ims_seen.size() < min_track_len) continue;
-    for (int32_t v : nodes) {
+      if (data[v].cnt == 0 || ims_seen[data[v].im] != 1) continue;
       t_out.push_back(track_id);
       im_out.push_back(data[v].im);
       xy_out.push_back(data[v].sx / (double)data[v].cnt);

@@ -32,6 +32,50 @@ from patch2pix_tpu.sfm.twoview import (
 )
 
 
+_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+def _bucket_pad(n: int) -> int:
+    """Static shape bucket for a row count: the device RANSACs are
+    fixed-shape jits, so without bucketing every distinct match count
+    triggers a recompile — at 50+ cameras that is hundreds of
+    compilations. Row counts above the cap are subsampled by callers."""
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    b = _BUCKETS[-1]
+    while b < n:  # beyond the table: next power of two
+        b *= 2
+    return b
+
+
+def _sampson_np(p1: np.ndarray, p2: np.ndarray, E: np.ndarray) -> np.ndarray:
+    """Squared sampson distance of normalized correspondences vs E
+    (host numpy; matches the device RANSAC's inlier metric)."""
+    x1 = np.concatenate([p1, np.ones((len(p1), 1))], axis=1)
+    x2 = np.concatenate([p2, np.ones((len(p2), 1))], axis=1)
+    Ex1 = x1 @ E.T
+    Etx2 = x2 @ E
+    num = np.sum(x2 * Ex1, axis=1) ** 2
+    den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+    return num / np.maximum(den, 1e-12)
+
+
+def _pad_valid(arrs, n: int):
+    """Pad row arrays to the bucket of ``n`` (repeating the last row)
+    and return (padded arrays, bool validity mask)."""
+    b = _bucket_pad(n)
+    out = []
+    for a in arrs:
+        a = np.asarray(a)
+        if len(a) < b:
+            a = np.concatenate([a, np.repeat(a[-1:], b - len(a), axis=0)])
+        out.append(a)
+    valid = np.zeros(b, bool)
+    valid[:n] = True
+    return out, valid
+
+
 @dataclass
 class Reconstruction:
     """Sparse reconstruction state."""
@@ -70,16 +114,70 @@ class IncrementalSfM:
         min_track_len: int = 2,
         cell: float = 4.0,
         seed: int = 0,
+        verify_pairs: bool = True,
         log: Callable[[str], None] = print,
     ):
-        self.matches = pair_matches
         self.K = {i: np.asarray(k, np.float64) for i, k in intrinsics.items()}
         self.px_thres = px_thres
         self.key = jax.random.PRNGKey(seed)
         self.log = log
+        if verify_pairs:
+            pair_matches = self._verify_pairs(pair_matches)
+        self.matches = pair_matches
         self.tracks = build_tracks(pair_matches, cell, min_track_len)
         self.rec = Reconstruction(K=self.K, track_obs=self.tracks)
         self.log(f"tracks: {len(self.tracks)} from {len(pair_matches)} pairs")
+
+    def _verify_pairs(
+        self, pair_matches: Dict[Tuple[int, int], np.ndarray]
+    ) -> Dict[Tuple[int, int], np.ndarray]:
+        """Geometric verification: fit E per pair (device RANSAC on a
+        size-bucketed subsample), keep matches epipolar-consistent with
+        it. The standard SfM front-end step — raw matcher outliers
+        otherwise percolate track building (see sfm/tracks.py)."""
+        rs = np.random.default_rng(7)
+        out = {}
+        n_in, n_all = 0, 0
+        for (i, j), m in pair_matches.items():
+            m = np.asarray(m, np.float64)
+            n_all += len(m)
+            if len(m) < 16:
+                continue
+            sub = m
+            if len(sub) > _BUCKETS[-1]:
+                sub = m[rs.choice(len(m), _BUCKETS[-1], replace=False)]
+            (m_pad,), valid = _pad_valid([sub], len(sub))
+            thres = self._norm_thres(i, j)
+            p1 = normalize_points(jnp.asarray(m_pad[:, 0:2], jnp.float32),
+                                  jnp.asarray(self.K[i], jnp.float32))
+            p2 = normalize_points(jnp.asarray(m_pad[:, 2:4], jnp.float32),
+                                  jnp.asarray(self.K[j], jnp.float32))
+            res = ransac_essential(
+                self._next_key(), p1, p2, 256, thres,
+                valid=jnp.asarray(valid),
+            )
+            if int(res.num_inliers) < 16:
+                continue
+            # classify ALL matches against the fitted E on the host
+            E = np.asarray(res.E, np.float64)
+            q1 = self._normalize_np(m[:, 0:2], self.K[i])
+            q2 = self._normalize_np(m[:, 2:4], self.K[j])
+            d = _sampson_np(q1, q2, E)
+            keep = m[d < thres]
+            if len(keep) >= 16:
+                out[(i, j)] = keep
+                n_in += len(keep)
+        self.log(
+            f"pair verification: {n_in}/{n_all} matches kept over "
+            f"{len(out)}/{len(pair_matches)} pairs"
+        )
+        return out
+
+    @staticmethod
+    def _normalize_np(px: np.ndarray, K: np.ndarray) -> np.ndarray:
+        y = (px[:, 1] - K[1, 2]) / K[1, 1]
+        x = (px[:, 0] - K[0, 2] - K[0, 1] * y) / K[0, 0]
+        return np.stack([x, y], axis=1)
 
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
@@ -95,15 +193,20 @@ class IncrementalSfM:
         """Two-view RANSAC on every pair; pick max inliers with
         non-degenerate translation."""
         best, best_score = None, -1
+        rs = np.random.default_rng(0)
         for (i, j), m in self.matches.items():
             if len(m) < 16:
                 continue
-            p1 = normalize_points(jnp.asarray(m[:, 0:2], jnp.float32),
+            if len(m) > _BUCKETS[-1]:
+                m = m[rs.choice(len(m), _BUCKETS[-1], replace=False)]
+            (m_pad,), valid = _pad_valid([m], len(m))
+            p1 = normalize_points(jnp.asarray(m_pad[:, 0:2], jnp.float32),
                                   jnp.asarray(self.K[i], jnp.float32))
-            p2 = normalize_points(jnp.asarray(m[:, 2:4], jnp.float32),
+            p2 = normalize_points(jnp.asarray(m_pad[:, 2:4], jnp.float32),
                                   jnp.asarray(self.K[j], jnp.float32))
             res = ransac_essential(
-                self._next_key(), p1, p2, 256, self._norm_thres(i, j)
+                self._next_key(), p1, p2, 256, self._norm_thres(i, j),
+                valid=jnp.asarray(valid),
             )
             score = int(res.num_inliers)
             if score > best_score:
@@ -144,12 +247,18 @@ class IncrementalSfM:
             groups[(job[1], job[2])].append(job)
         n_new = 0
         for (a, b), js in groups.items():
+            # pad each group to a shape bucket (rows are independent,
+            # padding repeats the last row; extras sliced off below) so
+            # triangulate compiles once per bucket, not per group size
+            (uv_a, uv_b), _ = _pad_valid(
+                [[j[3] for j in js], [j[4] for j in js]], len(js)
+            )
             p1 = normalize_points(
-                jnp.asarray([j[3] for j in js], jnp.float32),
+                jnp.asarray(uv_a, jnp.float32),
                 jnp.asarray(self.K[a], jnp.float32),
             )
             p2 = normalize_points(
-                jnp.asarray([j[4] for j in js], jnp.float32),
+                jnp.asarray(uv_b, jnp.float32),
                 jnp.asarray(self.K[b], jnp.float32),
             )
             X = triangulate(
@@ -159,7 +268,7 @@ class IncrementalSfM:
                 jnp.asarray(self.rec.ts[b], jnp.float32),
                 p1, p2,
             )
-            X = np.asarray(X, np.float64)
+            X = np.asarray(X, np.float64)[: len(js)]
             # chirality + reprojection gating
             for (tid, *_), x in zip(js, X):
                 ok = True
@@ -201,13 +310,21 @@ class IncrementalSfM:
             ]
             X = np.stack([self.rec.points[t] for t in tids])
             uv = np.stack([self.tracks[t][im] for t in tids])
+            if len(X) > _BUCKETS[-1]:
+                sel = np.random.default_rng(im).choice(
+                    len(X), _BUCKETS[-1], replace=False
+                )
+                X, uv = X[sel], uv[sel]
+            (X_pad, uv_pad), valid = _pad_valid([X, uv], len(X))
             p = normalize_points(
-                jnp.asarray(uv, jnp.float32), jnp.asarray(self.K[im], jnp.float32)
+                jnp.asarray(uv_pad, jnp.float32),
+                jnp.asarray(self.K[im], jnp.float32),
             )
             f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
             res = ransac_pnp(
-                self._next_key(), jnp.asarray(X, jnp.float32), p, 256,
+                self._next_key(), jnp.asarray(X_pad, jnp.float32), p, 256,
                 float((self.px_thres / f) ** 2),
+                valid=jnp.asarray(valid),
             )
             if int(res.num_inliers) < 6:
                 continue
@@ -221,7 +338,10 @@ class IncrementalSfM:
 
     # ------------------------------------------------- bundle adjust
 
-    def bundle_adjust(self, max_iters: int = 15, huber_px: float = 3.0):
+    def assemble_ba(self):
+        """Flatten the reconstruction into BA problem arrays:
+        (Rs, ts, X, cam_idx, pt_idx, uv_normalized, f_mean, reg, tids).
+        Shared by the single-device and mesh-sharded solvers."""
         reg = self.rec.registered
         im2c = {im: c for c, im in enumerate(reg)}
         tids = sorted(self.rec.points.keys())
@@ -238,14 +358,19 @@ class IncrementalSfM:
                     jnp.asarray(xy[None], jnp.float32),
                     jnp.asarray(K, jnp.float32))[0])
         f_mean = float(np.mean([self.K[im][0, 0] for im in reg]))
-        prob = build_problem(
+        return (
             np.stack([self.rec.Rs[im] for im in reg]),
             np.stack([self.rec.ts[im] for im in reg]),
             np.stack([self.rec.points[t] for t in tids]),
-            np.asarray(cam_idx),
-            np.asarray(pt_idx),
-            np.asarray(uv, np.float32),
+            np.asarray(cam_idx), np.asarray(pt_idx),
+            np.asarray(uv, np.float32), f_mean, reg, tids,
         )
+
+    def bundle_adjust(self, max_iters: int = 15, huber_px: float = 3.0):
+        Rs, ts, X, cam_idx, pt_idx, uv, f_mean, reg, tids = self.assemble_ba()
+        im2c = {im: c for c, im in enumerate(reg)}
+        t2p = {t: p for p, t in enumerate(tids)}
+        prob = build_problem(Rs, ts, X, cam_idx, pt_idx, uv)
         solved, c = run_ba(
             prob, max_iters=max_iters, huber_delta=huber_px / f_mean
         )
