@@ -76,6 +76,50 @@ class PnPResult(NamedTuple):
     num_inliers: jax.Array
 
 
+def _rodrigues(w: jax.Array) -> jax.Array:
+    th = jnp.sqrt(jnp.sum(w * w) + 1e-24)
+    k = w / th
+    Kx = jnp.array(
+        [[0.0, -k[2], k[1]], [k[2], 0.0, -k[0]], [-k[1], k[0], 0.0]]
+    )
+    return jnp.eye(3) + jnp.sin(th) * Kx + (1.0 - jnp.cos(th)) * (Kx @ Kx)
+
+
+def refine_pose_pnp(
+    R0: jax.Array, t0: jax.Array, X: jax.Array, p: jax.Array,
+    weights: jax.Array, iters: int = 8,
+    robust_scale: float | None = None,
+) -> tuple:
+    """IRLS Gauss-Newton refinement of an SE(3) pose on reprojection
+    residuals. The minimal-set DLT hypotheses (and even the weighted
+    DLT refit) carry multi-pixel algebraic error at scene scale —
+    enough that a tight RANSAC gate finds no inliers at all; a few GN
+    iterations on the geometric objective reach the data's noise floor
+    (same rationale as twoview.refine_pose_gn)."""
+
+    def residual(delta, R, t):
+        Rn = _rodrigues(delta[:3]) @ R
+        tn = t + delta[3:]
+        pc = X @ Rn.T + tn
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        return (pc[:, :2] / z[:, None] - p).reshape(-1)  # (2N,)
+
+    def step(_, carry):
+        R, t = carry
+        z = jnp.zeros((6,), X.dtype)
+        r = residual(z, R, t)
+        w = jnp.repeat(weights, 2)
+        if robust_scale is not None:
+            w = w / (1.0 + (r / robust_scale) ** 2)
+        J = jax.jacfwd(residual)(z, R, t)  # (2N, 6)
+        Jw = J * w[:, None]
+        H = Jw.T @ J + 1e-9 * jnp.eye(6)
+        delta = -jnp.linalg.solve(H, Jw.T @ r)
+        return _rodrigues(delta[:3]) @ R, t + delta[3:]
+
+    return jax.lax.fori_loop(0, iters, step, (R0, t0))
+
+
 @functools.partial(jax.jit, static_argnums=(3,))
 def ransac_pnp(
     key: jax.Array,
@@ -85,10 +129,15 @@ def ransac_pnp(
     thres: float = 1e-4,
     valid: jax.Array | None = None,
 ) -> PnPResult:
-    """Fixed-shape PnP RANSAC (minimal sets of 6, DLT solver).
+    """Fixed-shape PnP RANSAC (minimal sets of 6, DLT solver) with
+    MSAC scoring and Gauss-Newton polish.
 
     X ``(N, 3)`` world points, p ``(N, 2)`` normalized observations,
-    ``thres`` squared normalized reprojection threshold.
+    ``thres`` squared normalized reprojection threshold. Hypotheses
+    are scored by the truncated robust cost at a 16x-widened gate
+    (hard counting at ``thres`` returns zero inliers for every noisy
+    minimal hypothesis once the scene is large), then the winner is
+    IRLS-GN refined and the final inlier set gated at ``thres``.
     """
     n = X.shape[0]
     if valid is None:
@@ -103,12 +152,18 @@ def ransac_pnp(
     ids = jax.vmap(sample_ids)(keys)
     Rs, ts = jax.vmap(lambda i: dlt_pnp(X[i], p[i]))(ids)
     errs = jax.vmap(lambda R, t: reprojection_error_sq(X, p, R, t))(Rs, ts)
-    inl = (errs < thres) & valid[None, :]
-    best = jnp.argmax(jnp.sum(inl.astype(jnp.int32), axis=1))
+    cap = 16.0 * thres
+    msac = jnp.sum(
+        jnp.where(valid[None, :], jnp.minimum(errs, cap), 0.0), axis=1
+    )
+    best = jnp.argmin(msac)
 
-    # weighted refit on inliers
-    w = inl[best].astype(X.dtype)
-    R, t = dlt_pnp(X, p, w=w)
+    # coarse-gate inlier weights -> GN polish -> final gate at thres
+    w0 = ((errs[best] < cap) & valid).astype(X.dtype)
+    R, t = refine_pose_pnp(
+        Rs[best], ts[best], X, p, w0,
+        robust_scale=jnp.sqrt(thres),
+    )
     err = reprojection_error_sq(X, p, R, t)
     inliers = (err < thres) & valid
     return PnPResult(

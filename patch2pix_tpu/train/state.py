@@ -58,10 +58,34 @@ def lr_schedule(cfg: OptimConfig, steps_per_epoch: int = 1):
 
 
 def _freeze_labels(params: Mapping, freeze: Sequence[str]) -> Mapping:
-    """Label top-level param subtrees 'frozen' or 'train'."""
-    return {
-        k: "frozen" if k in freeze else "train" for k in params.keys()
-    }
+    """Label param subtrees 'frozen' or 'train'.
+
+    ``freeze`` entries are '/'-joined path prefixes with fnmatch
+    wildcards: "extract" freezes the whole backbone, "extract/layer1*"
+    one stage (the reference's freeze_feat index boundary expressed
+    structurally). A subtree is frozen when its path (or any prefix)
+    matches an entry.
+    """
+    import fnmatch
+
+    def frozen(path: str) -> bool:
+        parts = path.split("/")
+        prefixes = ["/".join(parts[: i + 1]) for i in range(len(parts))]
+        return any(
+            fnmatch.fnmatchcase(pref, pat)
+            for pat in freeze
+            for pref in prefixes
+        )
+
+    def label(path, sub):
+        if isinstance(sub, Mapping):
+            return {
+                k: label(f"{path}/{k}" if path else k, v)
+                for k, v in sub.items()
+            }
+        return "frozen" if frozen(path) else "train"
+
+    return label("", params)
 
 
 def make_optimizer(

@@ -54,6 +54,15 @@ def main():
     ap.add_argument("--pool", type=int, default=64, help="distinct pairs")
     ap.add_argument("--eval_every", type=int, default=25)
     ap.add_argument("--out", default="artifacts/synth_train")
+    ap.add_argument(
+        "--unfreeze_tail", action="store_true",
+        help="train the backbone's layer3 too (the reference's "
+        "freeze_feat<87 regimes): with the random-init backbone this "
+        "demo uses (no ImageNet download), frozen features cap what "
+        "the regressors can learn and the held-out metric stays flat; "
+        "unfreezing the tail lets features adapt so generalisation is "
+        "demonstrable",
+    )
     args = ap.parse_args()
 
     model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
@@ -62,7 +71,11 @@ def main():
         rng=jax.random.PRNGKey(0), model=model, optim_cfg=optim_cfg,
         image_shape=(1, 96, 128, 3),
     )
-    tx = make_optimizer(optim_cfg, state.params)
+    freeze = ("extract", "ncn")
+    if args.unfreeze_tail:
+        freeze = ("extract/conv1", "extract/bn1", "extract/layer1*",
+                  "extract/layer2*", "ncn")
+    tx = make_optimizer(optim_cfg, state.params, freeze=freeze)
     step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax)
 
     # fixed data pool (train), staged onto the device ONCE as a stacked
