@@ -67,14 +67,16 @@ def main():
 
     model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
     optim_cfg = OptimConfig(lr_init=args.lr)
-    state = create_train_state(
-        rng=jax.random.PRNGKey(0), model=model, optim_cfg=optim_cfg,
-        image_shape=(1, 96, 128, 3),
-    )
     freeze = ("extract", "ncn")
     if args.unfreeze_tail:
         freeze = ("extract/conv1", "extract/bn1", "extract/layer1*",
                   "extract/layer2*", "ncn")
+    # the state's opt_state must be built with the SAME freeze labels
+    # as the tx the step uses (masked subtree structures must match)
+    state = create_train_state(
+        rng=jax.random.PRNGKey(0), model=model, optim_cfg=optim_cfg,
+        image_shape=(1, 96, 128, 3), freeze=freeze,
+    )
     tx = make_optimizer(optim_cfg, state.params, freeze=freeze)
     step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax)
 
