@@ -300,7 +300,7 @@ class IncrementalSfM:
                     count[im] = count.get(im, 0) + 1
         return sorted(count.items(), key=lambda kv: -kv[1])
 
-    def register_next(self) -> Optional[int]:
+    def register_next(self, thres_scale: float = 1.0) -> Optional[int]:
         cands = self._candidates()
         for im, n_vis in cands:
             if n_vis < 6:
@@ -323,7 +323,7 @@ class IncrementalSfM:
             f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
             res = ransac_pnp(
                 self._next_key(), jnp.asarray(X_pad, jnp.float32), p, 256,
-                float((self.px_thres / f) ** 2),
+                float((thres_scale * self.px_thres / f) ** 2),
                 valid=jnp.asarray(valid),
             )
             if int(res.num_inliers) < 6:
@@ -381,11 +381,58 @@ class IncrementalSfM:
             self.rec.points[t] = np.asarray(solved.X[pi], np.float64)
         self.log(f"BA over {len(reg)} cams / {len(tids)} pts: cost {c:.3e}")
 
+    # ------------------------------------------------- point filtering
+
+    def filter_points(self, max_px: Optional[float] = None) -> Tuple[int, int]:
+        """COLMAP-style observation/point gating after bundle adjust.
+
+        Deletes observations whose reprojection exceeds ``max_px``
+        (default 3*px_thres) under the current poses, then points left
+        with <2 registered observations or behind a camera. Without
+        this, chimera tracks (outlier edges merging two 3D points) and
+        drifted triangulations accumulate in the map, drag the BA and
+        eventually starve PnP registration (measured at 50 cams:
+        median map reprojection 30 px, ring-closure images
+        unregistrable).
+        """
+        max_px = max_px if max_px is not None else 3.0 * self.px_thres
+        reg = set(self.rec.registered)
+        n_obs_dropped, drop = 0, []
+        for tid, x in self.rec.points.items():
+            tr = self.tracks[tid]
+            bad_ims = []
+            ok = 0
+            for im, xy in tr.items():
+                if im not in reg:
+                    continue
+                pc = self.rec.Rs[im] @ x + self.rec.ts[im]
+                if pc[2] <= 1e-6:
+                    bad_ims.append(im)
+                    continue
+                proj = self.K[im] @ (pc / pc[2])
+                if np.linalg.norm(proj[:2] - xy) > max_px:
+                    bad_ims.append(im)
+                else:
+                    ok += 1
+            for im in bad_ims:
+                del tr[im]
+            n_obs_dropped += len(bad_ims)
+            if ok < 2:
+                drop.append(tid)
+        for tid in drop:
+            del self.rec.points[tid]
+        self.log(
+            f"filtered {n_obs_dropped} obs, {len(drop)} points "
+            f"({len(self.rec.points)} remain)"
+        )
+        return n_obs_dropped, len(drop)
+
     # ------------------------------------------------- driver
 
     def run(self, ba_every: int = 3, global_ba: bool = True) -> Reconstruction:
         self.init_pair()
         self.bundle_adjust()
+        self.filter_points()
         added = 0
         while True:
             im = self.register_next()
@@ -395,8 +442,27 @@ class IncrementalSfM:
             added += 1
             if added % ba_every == 0:
                 self.bundle_adjust()
+                self.filter_points()
+                # dropped tracks may re-triangulate under the adjusted
+                # poses (triangulation skips only live points)
+                self._triangulate_tracks()
         if global_ba:
             self.bundle_adjust(max_iters=30)
+            self.filter_points()
+        # rescue pass: stragglers (typically ring-closure images whose
+        # candidates straddle accumulated drift) retried under the
+        # refined map with a widened RANSAC gate, then re-adjusted
+        rescued = 0
+        while True:
+            im = self.register_next(thres_scale=2.0)
+            if im is None:
+                break
+            self.log(f"rescued im {im}")
+            self._triangulate_tracks()
+            rescued += 1
+        if rescued and global_ba:
+            self.bundle_adjust(max_iters=15)
+            self.filter_points()
         self.log(
             f"done: {len(self.rec.registered)} cams, {len(self.rec.points)} points"
         )
