@@ -140,6 +140,12 @@ class Matcher:
         # invalid padding — capping them is the dominant eval speedup.
         self.fine_cap = fine_cap
         self.upsample = model.config.upsample
+        # fine_cap observability: the capped match set equals the
+        # uncapped one iff a pair had <= fine_cap valid coarse rows;
+        # a pair whose post-cap valid count EQUALS the cap hit it
+        # (top-scored truncation may have dropped rows). Counters let
+        # deployments see how often the approximation engages.
+        self.cap_stats = {"pairs": 0, "cap_hits": 0, "valid_counts": []}
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def _predict_fine(variables, im1, im2, mutual):
@@ -197,6 +203,11 @@ class Matcher:
 
         fine, coarse = self._predict_fine(self.variables, b1, b2, self.mutual)
         valid = np.asarray(fine.valid[0])
+        n_valid = int(valid.sum())
+        self.cap_stats["pairs"] += 1
+        self.cap_stats["valid_counts"].append(n_valid)
+        if self.fine_cap is not None and n_valid >= self.fine_cap:
+            self.cap_stats["cap_hits"] += 1
         fmat = np.asarray(fine.coords[0])[valid]
         fscore = np.asarray(fine.scores[0])[valid]
         cmat = np.asarray(coarse.coords[0])[valid]
