@@ -55,6 +55,14 @@ def main():
     ap.add_argument("--eval_every", type=int, default=25)
     ap.add_argument("--out", default="artifacts/synth_train")
     ap.add_argument(
+        "--refresh_pool", action="store_true",
+        help="regenerate the training pool with FRESH synthetic pairs "
+        "between scan chunks (unlimited data): the fixed pool is "
+        "memorised within a few epochs and the held-out metric turns "
+        "back up; fresh data keeps it falling. Costs one pool H2D "
+        "per chunk (~235 MB per eval_every steps at the defaults).",
+    )
+    ap.add_argument(
         "--unfreeze_tail", action="store_true",
         help="train the backbone's layer3 too (the reference's "
         "freeze_feat<87 regimes): with the random-init backbone this "
@@ -97,14 +105,17 @@ def main():
     # lax.scan (batch picked from the resident pool by step index), so
     # end-to-end wall-clock IS the in-jit time — no per-step dispatch,
     # H2D, or metric syncs. Metrics come back stacked (chunk,) per key.
-    @functools.partial(jax.jit, static_argnums=2, donate_argnums=0)
-    def multi_step(state, start, n):
+    # The pool is an ARGUMENT, not a closure capture: captured arrays
+    # embed in the lowered HLO as constants, and at --pool 256 that is
+    # a ~1 GB compile payload (it broke the remote-compile relay).
+    @functools.partial(jax.jit, static_argnums=3, donate_argnums=0)
+    def multi_step(state, pool, start, n):
         def body(st, i):
             batch = jax.tree.map(
                 lambda x: jax.lax.dynamic_index_in_dim(
                     x, i % n_pool, keepdims=False
                 ),
-                pool_dev,
+                pool,
             )
             st2, metrics = step(
                 st, batch, jax.random.fold_in(jax.random.PRNGKey(42), i)
@@ -137,8 +148,17 @@ def main():
 
     def run_chunk(done):
         n = min(args.eval_every, args.steps - done)
-        st, metrics = multi_step(run_chunk.state, jnp.int32(done), n)
+        st, metrics = multi_step(
+            run_chunk.state, run_chunk.pool, jnp.int32(done), n
+        )
         run_chunk.state = st
+        if args.refresh_pool:
+            # stage the NEXT chunk's fresh pool while this one runs
+            fresh = [synthetic_batch(rs, args.batch, args.ht, args.wt)
+                     for _ in range(n_pool)]
+            run_chunk.pool = jax.device_put(
+                {k: np.stack([b[k] for b in fresh]) for k in fresh[0]}
+            )
         val_v = val_epi(
             st.params, st.batch_stats,
             val_j["im1"], val_j["im2"], val_j["F"],
@@ -147,6 +167,7 @@ def main():
         return done + n
 
     run_chunk.state = state
+    run_chunk.pool = pool_dev
     # first chunk pays the compile; time the rest (steady-state rate)
     done = run_chunk(0)
     jax.block_until_ready(chunks[-1][1])
