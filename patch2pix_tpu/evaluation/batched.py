@@ -61,15 +61,32 @@ class BatchedMatcher:
                 variables, im1, im2, ksize=self.ksize,
                 ncn_thres=self.ncn_thres, mutual=self.mutual,
                 fine_cap=self.fine_cap,
+                # per-image backbone on a sharded batch: the cross-pair
+                # concat would reshard (see extract_pyramid_pair)
+                stack_backbone=self.n_dev == 1,
                 method=self.model.predict_fine,
             )
             return fine.coords, fine.scores, fine.valid, coarse.coords
 
-        self._predict = jax.jit(
+        jitted = jax.jit(
             predict,
             in_shardings=(repl, shard, shard),
             out_shardings=(shard, shard, shard, shard),
         )
+        if self.n_dev > 1:
+            # Pallas custom calls are opaque to the SPMD partitioner
+            # and the merged-flat conv4d shifts cross pair boundaries —
+            # trace with the SPMD-safe dispatch so the compiled matcher
+            # is collective-free (pairs are fully independent)
+            from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch
+
+            def sharded_predict(variables, im1, im2):
+                with spmd_safe_dispatch():
+                    return jitted(variables, im1, im2)
+
+            self._predict = sharded_predict
+        else:
+            self._predict = jitted
 
     def match_pairs(
         self, pairs: Sequence[Tuple[str, str]]

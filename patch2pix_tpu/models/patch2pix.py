@@ -489,6 +489,7 @@ class Patch2Pix(nn.Module):
         ncn_thres: float = 0.0,
         mutual: bool = True,
         fine_cap: Optional[int] = None,
+        stack_backbone: bool = True,
     ):
         """Full inference (/root/reference/networks/patch2pix.py:250-276).
 
@@ -504,8 +505,14 @@ class Patch2Pix(nn.Module):
         no eval cap, but at change_stride scale most of the nb = h2*w2
         rows are invalid padding and regressing them all is the
         dominant cost).
+
+        ``stack_backbone=False``: per-image backbone calls — pass when
+        the batch axis is sharded over a mesh (see
+        extract_pyramid_pair; BatchedMatcher does this).
         """
-        feats1, feats2 = self.extract_pyramid_pair(im1, im2)
+        feats1, feats2 = self.extract_pyramid_pair(
+            im1, im2, stack=stack_backbone
+        )
         corr, delta4d = self.coarse_corr(feats1[-1], feats2[-1], ksize)
         cm = self.coarse_matches(corr, delta4d, ksize, mutual, ncn_thres)
         if mutual:

@@ -195,6 +195,43 @@ def test_batched_matcher_sharded(tmp_path, tiny_matcher):
         np.testing.assert_allclose(s, ref_s, atol=1e-4)
 
 
+def test_batched_matcher_collective_free(tiny_matcher):
+    """The compiled pair-sharded matcher moves NO collectives: pairs
+    are fully independent (per-image backbone, per-batch conv4d
+    shifts, Pallas gated off under SPMD-safe dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from patch2pix_tpu.evaluation.batched import BatchedMatcher
+    from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch
+    from patch2pix_tpu.parallel.comm_stats import collective_stats
+    from patch2pix_tpu.parallel.mesh import make_mesh
+
+    for m in (2, 8):
+        bm = BatchedMatcher(
+            tiny_matcher.model, tiny_matcher.variables,
+            mesh=make_mesh(m), ksize=2, imsize=128,
+        )
+        b = jnp.zeros((m, 96, 128, 3), jnp.float32)
+        # re-create the inner jit's lowering under the same dispatch
+        # gate the wrapped callable uses
+        with spmd_safe_dispatch():
+            lowered = jax.jit(
+                lambda v, a, c: tiny_matcher.model.apply(
+                    v, a, c, ksize=2, fine_cap=bm.fine_cap,
+                    stack_backbone=False,
+                    method=tiny_matcher.model.predict_fine,
+                ),
+                in_shardings=(
+                    jax.sharding.NamedSharding(bm.mesh, jax.sharding.PartitionSpec()),
+                    jax.sharding.NamedSharding(bm.mesh, jax.sharding.PartitionSpec("data")),
+                    jax.sharding.NamedSharding(bm.mesh, jax.sharding.PartitionSpec("data")),
+                ),
+            ).lower(tiny_matcher.variables, b, b)
+        comm = collective_stats(lowered.compile().as_text())
+        assert not comm, f"collectives in sharded matcher at mesh {m}: {comm}"
+
+
 def test_hpatches_with_batched_matcher(tmp_path, tiny_matcher):
     """Config 3: HPatches pairs run mesh-sharded via BatchedMatcher."""
     from patch2pix_tpu.evaluation.batched import BatchedMatcher
