@@ -16,7 +16,10 @@ import glob
 import gzip
 import json
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
