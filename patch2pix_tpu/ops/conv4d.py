@@ -187,13 +187,18 @@ def _tap_sum_feasible(n: int, row_bytes: int) -> bool:
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _tap_sum(zf: jax.Array, bias: jax.Array, bs: int, h1: int, w1: int):
-    """bias + masked outer-tap shift-add of ``zf (9, N, M)`` -> (N, M)
-    f32 (Pallas kernel; see ops/tap_sum_pallas.py). The custom VJP keeps
-    the NCN differentiable for pretraining: the adjoint is the same
-    masked shift with flipped taps, done in plain jnp (training-only)."""
+    """bias + masked outer-tap shift-add of PREPADDED
+    ``zf (9, N + 2p + 8, M)`` -> (N, M) f32 (Pallas kernel; see
+    ops/tap_sum_pallas.py). Callers pad the fold-out conv's INPUT rows
+    instead of its 9x larger output (conv of zero rows is zero). The
+    custom VJP keeps the NCN differentiable for pretraining: the
+    adjoint is the same masked shift with flipped taps, in plain jnp
+    (training-only)."""
     from patch2pix_tpu.ops.tap_sum_pallas import tap_sum_pallas
 
-    return tap_sum_pallas(zf, bias, bs, h1, w1, interpret=not _tpu_backend())
+    return tap_sum_pallas(
+        zf, bias, bs, h1, w1, interpret=not _tpu_backend(), prepadded=True
+    )
 
 
 def _tap_sum_fwd(zf, bias, bs, h1, w1):
@@ -219,7 +224,9 @@ def _tap_sum_bwd(bs, h1, w1, res, g):
             np.tile(masks[(k - 1 - di) * k + (k - 1 - dj)], bs), jnp.float32
         )
         dz.append(view * mflip[:, None])
-    return jnp.stack(dz).astype(zdtype), jnp.sum(g)
+    # the forward's PAD rows never contribute (masked): zero cotangent
+    dzf = jnp.pad(jnp.stack(dz), ((0, 0), (p, p + 8), (0, 0)))
+    return dzf.astype(zdtype), jnp.sum(g)
 
 
 _tap_sum.defvjp(_tap_sum_fwd, _tap_sum_bwd)
@@ -315,10 +322,31 @@ def conv4d_fold_out(
     assert k == 3, f"fold-out path is k=3 only, got {w.shape}"
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
+    n = bs * h1 * w1
+    use_pallas = (
+        cout == 1 and _tpu_backend() and n % 8 == 0 and _pallas_ok()
+        # Mosaic DMA windows must be lane-aligned: the flattened minor
+        # (h2*w2) dim must fill whole 128-lane tiles (true at every
+        # snapped eval/train scale; tiny init shapes take the jnp path)
+        and (h2 * w2) % 128 == 0
+        # and a multiple-of-8 block must fit the kernel's VMEM budget
+        # (an unusually large h2*w2 row can make every nb infeasible)
+        and _tap_sum_feasible(n, h2 * w2 * x.dtype.itemsize)
+    )
+    xf = x.reshape(bs * h1 * w1, h2, w2, cin)
+    pad = k // 2
+    p = pad * w1 + pad
+    if use_pallas:
+        # pre-pad the kernel's (p, p+8) zero rows on the conv INPUT
+        # side: conv of zero rows is zero, so the conv emits the
+        # padded z the kernel wants directly — 9x less pad traffic
+        # than padding the conv output (115 MB -> 13 MB at the
+        # change_stride eval scale, and no post-conv pad pass)
+        xf = jnp.pad(xf, ((p, p + 8), (0, 0), (0, 0), (0, 0)))
     # V[dk, dl, ci, (t, co)] = w[di(t), dj(t), dk, dl, ci, co]
     vf = w.transpose(2, 3, 4, 0, 1, 5).reshape(k, k, cin, k * k * cout)
     z = jax.lax.conv_general_dilated(
-        x.reshape(bs * h1 * w1, h2, w2, cin),
+        xf,
         vf,
         window_strides=(1, 1),
         padding="SAME",
@@ -329,25 +357,15 @@ def conv4d_fold_out(
         preferred_element_type=(
             jnp.float32 if x.dtype == jnp.float32 else None
         ),
-    )  # (9*cout, B*h1*w1, h2, w2) feature-major
+    )  # (9*cout, rows, h2, w2) feature-major
     z = z.astype(x.dtype)  # rounding matches the bf16 pipeline's
     # layer-output storage; the tap-sum below still accumulates in f32
-    n = bs * h1 * w1
-    if (
-        cout == 1 and _tpu_backend() and n % 8 == 0 and _pallas_ok()
-        # Mosaic DMA windows must be lane-aligned: the flattened minor
-        # (h2*w2) dim must fill whole 128-lane tiles (true at every
-        # snapped eval/train scale; tiny init shapes take the jnp path)
-        and (h2 * w2) % 128 == 0
-        # and a multiple-of-8 block must fit the kernel's VMEM budget
-        # (an unusually large h2*w2 row can make every nb infeasible)
-        and _tap_sum_feasible(n, h2 * w2 * z.dtype.itemsize)
-    ):
+    if use_pallas:
         # Pallas masked shift-add: one DMA'd read of z + one write of
         # the output. The jnp pad/slice chain below is exact too, but
         # XLA materialises padded copies of the whole z tensor per
         # branch (~9 ms/iter at change_stride eval scale vs ~1.5 here).
-        zf = z.reshape(k * k, n, h2 * w2)
+        zf = z.reshape(k * k, n + 2 * p + 8, h2 * w2)
         bias0 = (
             jnp.zeros((), jnp.float32) if b is None else b.reshape(())
         )

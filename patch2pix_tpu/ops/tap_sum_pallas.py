@@ -73,7 +73,7 @@ def _make_kernel(nb: int, h1: int, w1: int, p: int, taps):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bs", "h1", "w1", "interpret")
+    jax.jit, static_argnames=("bs", "h1", "w1", "interpret", "prepadded")
 )
 def tap_sum_pallas(
     z: jax.Array,
@@ -82,16 +82,29 @@ def tap_sum_pallas(
     h1: int,
     w1: int,
     interpret: bool = False,
+    prepadded: bool = False,
 ) -> jax.Array:
     """z ``(9, N, M)`` (N = bs*h1*w1, M = flattened minor dims) ->
-    ``(N, M)`` float32: bias + masked outer-tap shift-add."""
-    t9, n, m = z.shape
-    assert t9 == K * K and n == bs * h1 * w1
+    ``(N, M)`` float32: bias + masked outer-tap shift-add.
+
+    ``prepadded``: z already carries the (p, p+8) zero rows on axis 1
+    (callers can pad the CONV INPUT instead — 9x less pad traffic
+    than padding the conv output here; conv of zero rows is zero, and
+    the pad rows are masked regardless).
+    """
     pad = K // 2
     p = pad * w1 + pad
-    # +8 tail margin: each DMA window is 8 rows larger than nb so the
-    # aligned-down start never reads past the end
-    zp = jnp.pad(z, ((0, 0), (p, p + 8), (0, 0)))
+    if prepadded:
+        t9, n_padded, m = z.shape
+        n = n_padded - 2 * p - 8
+        assert t9 == K * K and n == bs * h1 * w1
+        zp = z
+    else:
+        t9, n, m = z.shape
+        assert t9 == K * K and n == bs * h1 * w1
+        # +8 tail margin: each DMA window is 8 rows larger than nb so
+        # the aligned-down start never reads past the end
+        zp = jnp.pad(z, ((0, 0), (p, p + 8), (0, 0)))
     taps = [
         (di, dj, (di - pad) * w1 + (dj - pad))
         for di in range(K)

@@ -110,12 +110,20 @@ def test_tap_sum_vjp_matches_autodiff(rng):
             out = out + view * jnp.asarray(np.tile(masks[t], bs), jnp.float32)[:, None]
         return out
 
-    out, vjp = jax.vjp(lambda zf, b: _tap_sum(zf, b, bs, h1, w1), z, bias)
+    # _tap_sum takes PREPADDED z (callers pad the fold-out conv input)
+    p = w1 + 1
+    zpad = jnp.pad(z, ((0, 0), (p, p + 8), (0, 0)))
+    out, vjp = jax.vjp(lambda zf, b: _tap_sum(zf, b, bs, h1, w1), zpad, bias)
     out_ref, vjp_ref = jax.vjp(explicit, z, bias)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-5)
-    dz, db = vjp(g)
+    dzp, db = vjp(g)
     dz_ref, db_ref = vjp_ref(g)
-    np.testing.assert_allclose(np.asarray(dz), np.asarray(dz_ref), rtol=1e-5, atol=1e-5)
+    # pad rows never contribute -> zero cotangent there
+    np.testing.assert_array_equal(np.asarray(dzp[:, :p]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dzp[:, p + n:]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(dzp[:, p : p + n]), np.asarray(dz_ref), rtol=1e-5, atol=1e-5
+    )
     np.testing.assert_allclose(np.asarray(db), np.asarray(db_ref), rtol=1e-5, atol=1e-5)
 
 
