@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--ptmax", type=int, default=400)
     ap.add_argument("--top", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--remat", default="auto")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +49,7 @@ def main():
         image_shape=(1, 96, 128, 3),
     )
     tx = make_optimizer(optim_cfg, state.params)
-    step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax)
+    step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax, remat=args.remat)
 
     batch = {
         k: jnp.asarray(v)
