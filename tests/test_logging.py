@@ -53,3 +53,23 @@ def test_prefetch_to_device_order_and_errors():
     except RuntimeError as e:
         raised = "boom" in str(e)
     assert raised
+
+
+def test_prefetch_with_mesh_sharding():
+    """Prefetching with a NamedSharding pytree stages batches sharded
+    over the data axis (the sharded train-step path in train/cli.py)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    sh = {"im": NamedSharding(mesh, P("data")),
+          "F": NamedSharding(mesh, P("data"))}
+    batches = [
+        {"im": np.full((4, 8, 8, 3), i, np.float32),
+         "F": np.full((4, 3, 3), i, np.float32)}
+        for i in range(3)
+    ]
+    out = list(prefetch_to_device(iter(batches), size=2, sharding=sh))
+    assert len(out) == 3
+    for i, b in enumerate(out):
+        assert b["im"].sharding.spec == P("data")
+        np.testing.assert_array_equal(np.asarray(b["im"]), batches[i]["im"])
