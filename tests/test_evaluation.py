@@ -328,3 +328,22 @@ def test_matches2relapose_degensac_fallback():
     assert len(inls) > 80
     assert quat_angle_error(rotmat2qvec(R), rotmat2qvec(R_est)) < 3.0
     assert vec_angle_error(t, t_est.reshape(3)) < 8.0
+
+
+def test_matcher_cap_stats(tmp_path, tiny_matcher):
+    """fine_cap observability: per-pair valid counts and cap-hit
+    counters accumulate on the matcher."""
+    rng = np.random.default_rng(9)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"cap{i}.jpg")
+        Image.fromarray(rng.integers(0, 255, (240, 320, 3), np.uint8)).save(p)
+        paths.append(p)
+    tiny_matcher.cap_stats = {"pairs": 0, "cap_hits": 0, "valid_counts": []}
+    tiny_matcher.estimate_matches(paths[0], paths[1])
+    tiny_matcher.estimate_matches(paths[1], paths[0])
+    s = tiny_matcher.cap_stats
+    assert s["pairs"] == 2 and len(s["valid_counts"]) == 2
+    assert all(v >= 0 for v in s["valid_counts"])
+    # tiny images: far below the 1200 cap
+    assert s["cap_hits"] == 0
