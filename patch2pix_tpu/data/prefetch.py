@@ -16,6 +16,18 @@ import threading
 from typing import Iterator, Optional
 
 
+class _PrefetchError:
+    """Private marker wrapping a producer-side exception.
+
+    A marker class (instead of a tagged tuple) so batches that are
+    themselves tuples can never be misclassified — and comparing a
+    device array against a string can never raise.
+    """
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 def prefetch_to_device(
     iterator: Iterator, size: int = 2, sharding=None
 ) -> Iterator:
@@ -27,26 +39,56 @@ def prefetch_to_device(
       sharding: optional sharding (or pytree of shardings matching the
         item structure) passed to ``jax.device_put`` — use the train
         step's batch NamedShardings on a mesh.
+
+    The producer thread watches a stop event and uses bounded-timeout
+    puts, so a consumer that abandons the generator early (e.g. the
+    train CLI breaking at --steps_per_epoch) releases the thread and
+    its staged device buffers instead of leaking them per epoch.
     """
     import jax
 
     q: queue.Queue = queue.Queue(maxsize=max(size, 1))
-    sentinel = object()
+    done = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Put with a stop check; returns False once stopping."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterator:
-                q.put(jax.device_put(item, sharding))
-            q.put(sentinel)
+                if not _put(jax.device_put(item, sharding)):
+                    return
+                if stop.is_set():
+                    return
+            _put(done)
         except BaseException as e:  # surface errors in the consumer
-            q.put(("__prefetch_error__", e))
+            _put(_PrefetchError(e))
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, _PrefetchError):
+                raise item.exc
+            yield item
+    finally:
+        # Runs on generator close()/GC as well as on normal return:
+        # unblock the producer and drop any staged device buffers.
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=2.0)

@@ -40,6 +40,7 @@ class BatchedMatcher:
         mutual: bool = True,
         imsize: Optional[int] = None,
         fine_cap: Optional[int] = 1200,
+        per_chip_batch: Optional[int] = None,
     ):
         self.model = model
         self.variables = variables
@@ -51,6 +52,15 @@ class BatchedMatcher:
         self.mutual = mutual
         self.imsize = imsize
         self.fine_cap = fine_cap  # see evaluation.matcher.Matcher
+        # Serving-batch default from the measured sweep (BASELINE.md
+        # round 4): upsample-16 is fastest at per-chip B=1 (56.2 vs
+        # 49.9 pairs/s at B=2 — batching doesn't recover the
+        # inter-stage pipeline-underfill penalty), change_stride at
+        # B=4 (27.2 vs 25.8). Buckets are chunked to this size so the
+        # default configuration serves at the measured optimum.
+        if per_chip_batch is None:
+            per_chip_batch = 4 if model.config.change_stride else 1
+        self.per_chip_batch = max(int(per_chip_batch), 1)
         self.upsample = model.config.upsample
 
         repl = NamedSharding(self.mesh, P())
@@ -73,6 +83,7 @@ class BatchedMatcher:
             in_shardings=(repl, shard, shard),
             out_shardings=(shard, shard, shard, shard),
         )
+        self._jitted = jitted
         if self.n_dev > 1:
             # Pallas custom calls are opaque to the SPMD partitioner
             # and the merged-flat conv4d shifts cross pair boundaries —
@@ -87,6 +98,20 @@ class BatchedMatcher:
             self._predict = sharded_predict
         else:
             self._predict = jitted
+
+    def lower(self, im1_shape: Tuple[int, ...], im2_shape=None):
+        """Lower the sharded predict for a batch shape (under the same
+        SPMD-safe dispatch gate the runtime path uses). Lets callers —
+        tests and the driver dryrun — inspect the compiled program's
+        collective set (the pair-sharded matcher must move NONE)."""
+        import jax.numpy as jnp
+
+        from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch
+
+        b1 = jnp.zeros(im1_shape, jnp.float32)
+        b2 = jnp.zeros(im2_shape or im1_shape, jnp.float32)
+        with spmd_safe_dispatch():
+            return self._jitted.lower(self.variables, b1, b2)
 
     def match_pairs(
         self, pairs: Sequence[Tuple[str, str]]
@@ -103,30 +128,34 @@ class BatchedMatcher:
             buckets[(im1.shape, im2.shape)].append(idx)
 
         results: List = [None] * len(pairs)
+        chunk = self.per_chip_batch * self.n_dev
         for key, ids in buckets.items():
-            # pad the bucket to a device-divisible batch
-            n = len(ids)
-            pad = (-n) % self.n_dev
-            ids_p = ids + ids[-1:] * pad
-            b1 = jnp.asarray(np.stack([loaded[i][0] for i in ids_p]))
-            b2 = jnp.asarray(np.stack([loaded[i][1] for i in ids_p]))
-            coords, scores, valid, coarse = self._predict(
-                self.variables, b1, b2
-            )
-            coords = np.asarray(coords)
-            scores = np.asarray(scores)
-            valid = np.asarray(valid)
-            coarse = np.asarray(coarse)
-            for row, i in enumerate(ids):
-                v = valid[row]
-                m = coords[row][v]
-                s = scores[row][v]
-                c = coarse[row][v]
-                pos = s > self.io_thres
-                if pos.any():
-                    m, s, c = m[pos], s[pos], c[pos]
-                up = loaded[i][2]
-                results[i] = (m * up, s, c * up)
+            # chunk the bucket to the measured-optimal per-chip batch;
+            # every chunk is padded to the same device-divisible size so
+            # one compiled shape serves the whole bucket
+            for lo in range(0, len(ids), chunk):
+                ids_c = ids[lo : lo + chunk]
+                n = len(ids_c)
+                ids_p = ids_c + ids_c[-1:] * (chunk - n)
+                b1 = jnp.asarray(np.stack([loaded[i][0] for i in ids_p]))
+                b2 = jnp.asarray(np.stack([loaded[i][1] for i in ids_p]))
+                coords, scores, valid, coarse = self._predict(
+                    self.variables, b1, b2
+                )
+                coords = np.asarray(coords)
+                scores = np.asarray(scores)
+                valid = np.asarray(valid)
+                coarse = np.asarray(coarse)
+                for row, i in enumerate(ids_c):
+                    v = valid[row]
+                    m = coords[row][v]
+                    s = scores[row][v]
+                    c = coarse[row][v]
+                    pos = s > self.io_thres
+                    if pos.any():
+                        m, s, c = m[pos], s[pos], c[pos]
+                    up = loaded[i][2]
+                    results[i] = (m * up, s, c * up)
         return results
 
     def __call__(self, im1_path: str, im2_path: str):

@@ -144,8 +144,10 @@ class Matcher:
         # uncapped one iff a pair had <= fine_cap valid coarse rows;
         # a pair whose post-cap valid count EQUALS the cap hit it
         # (top-scored truncation may have dropped rows). Counters let
-        # deployments see how often the approximation engages.
-        self.cap_stats = {"pairs": 0, "cap_hits": 0, "valid_counts": []}
+        # deployments see how often the approximation engages. All
+        # aggregates are O(1) per pair (running sum/min/max + a log2
+        # histogram), so a long-lived Matcher never grows memory.
+        self.cap_stats = self._fresh_cap_stats()
 
         @functools.partial(jax.jit, static_argnums=(3,))
         def _predict_fine(variables, im1, im2, mutual):
@@ -176,6 +178,33 @@ class Matcher:
 
         self._refine = _refine
 
+    @staticmethod
+    def _fresh_cap_stats() -> dict:
+        return {
+            "pairs": 0,
+            "cap_hits": 0,
+            "valid_sum": 0,
+            "valid_min": None,
+            "valid_max": None,
+            # bucket k counts pairs with valid count in [2^k, 2^(k+1));
+            # bucket 0 is the 0-or-1 corner. 24 buckets cover any image.
+            "valid_hist": [0] * 24,
+        }
+
+    def _record_cap_stats(self, n_valid: int) -> None:
+        s = self.cap_stats
+        s["pairs"] += 1
+        s["valid_sum"] += n_valid
+        s["valid_min"] = (
+            n_valid if s["valid_min"] is None else min(s["valid_min"], n_valid)
+        )
+        s["valid_max"] = (
+            n_valid if s["valid_max"] is None else max(s["valid_max"], n_valid)
+        )
+        s["valid_hist"][min(max(n_valid, 1).bit_length() - 1, 23)] += 1
+        if self.fine_cap is not None and n_valid >= self.fine_cap:
+            s["cap_hits"] += 1
+
     # ------------------------------------------------------------ API
 
     def estimate_matches(
@@ -203,11 +232,7 @@ class Matcher:
 
         fine, coarse = self._predict_fine(self.variables, b1, b2, self.mutual)
         valid = np.asarray(fine.valid[0])
-        n_valid = int(valid.sum())
-        self.cap_stats["pairs"] += 1
-        self.cap_stats["valid_counts"].append(n_valid)
-        if self.fine_cap is not None and n_valid >= self.fine_cap:
-            self.cap_stats["cap_hits"] += 1
+        self._record_cap_stats(int(valid.sum()))
         fmat = np.asarray(fine.coords[0])[valid]
         fscore = np.asarray(fine.scores[0])[valid]
         cmat = np.asarray(coarse.coords[0])[valid]

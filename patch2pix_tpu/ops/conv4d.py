@@ -19,6 +19,7 @@ with zero padding p = ksize // 2 on all four spatial dims (SAME).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -185,6 +186,12 @@ def _tap_sum_feasible(n: int, row_bytes: int) -> bool:
     return _pick_nb(n, row_bytes) > 0
 
 
+def _tap_sum_feasible_t(hw: int, np_: int, n: int) -> bool:
+    from patch2pix_tpu.ops.tap_sum_pallas import tap_sum_feasible_t
+
+    return tap_sum_feasible_t(hw, np_, n)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _tap_sum(zf: jax.Array, bias: jax.Array, bs: int, h1: int, w1: int):
     """bias + masked outer-tap shift-add of PREPADDED
@@ -230,6 +237,53 @@ def _tap_sum_bwd(bs, h1, w1, res, g):
 
 
 _tap_sum.defvjp(_tap_sum_fwd, _tap_sum_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tap_sum_t(zt: jax.Array, bias: jax.Array, bs: int, h1: int, w1: int):
+    """Transposed-domain tap-sum (ops/tap_sum_pallas.tap_sum_pallas_t):
+    zt ``(HW, 9, Np)`` is the fold-out conv's native N-minor CNHW
+    output viewed transposed (a bitcast) -> ``(HW, N)`` f32. The VJP
+    mirrors ``_tap_sum``'s flipped-tap masked shift, on the lane axis."""
+    from patch2pix_tpu.ops.tap_sum_pallas import tap_sum_pallas_t
+
+    return tap_sum_pallas_t(
+        zt, bias, bs, h1, w1, interpret=not _tpu_backend()
+    )
+
+
+def _tap_sum_t_fwd(zt, bias, bs, h1, w1):
+    # zero-size residual carries zt's shape/dtype (valid JAX leaf)
+    shadow = jnp.zeros((zt.shape[0], 0, zt.shape[2]), zt.dtype)
+    return _tap_sum_t(zt, bias, bs, h1, w1), shadow
+
+
+def _tap_sum_t_bwd(bs, h1, w1, res, g):
+    hw, _, np_ = res.shape
+    zdtype = res.dtype
+    k = 3
+    pad = k // 2
+    p = pad * w1 + pad
+    n = bs * h1 * w1
+    # d zt[hw, t, j] = mask_t[j - p - s_t] * g[hw, j - p - s_t]:
+    # multiply g by the tap's own mask, then shift right by p + s_t.
+    # s in [-p, p] and p_right >= p, so every tap's pad amounts
+    # (p + s, p_right - s) are non-negative; masked-out cells are
+    # exactly the ones whose shift would land in the pad lanes, so the
+    # pad-lane cotangent is zero by construction.
+    masks = _flat_shift_masks(h1, w1, k)
+    dz = []
+    for t in range(k * k):
+        di, dj = t // k, t % k
+        s = (di - pad) * w1 + (dj - pad)
+        m = jnp.asarray(np.tile(masks[t], bs), jnp.float32)
+        dz.append(jnp.pad(
+            g * m[None, :], ((0, 0), (p + s, np_ - n - p - s))
+        ))
+    return jnp.stack(dz, axis=1).astype(zdtype), jnp.sum(g)
+
+
+_tap_sum_t.defvjp(_tap_sum_t_fwd, _tap_sum_t_bwd)
 
 
 def conv4d_fold_in(
@@ -323,8 +377,26 @@ def conv4d_fold_out(
     bs, h1, w1, h2, w2, cin = x.shape
     cout = w.shape[-1]
     n = bs * h1 * w1
+    pad = k // 2
+    p = pad * w1 + pad
+    # v2 (default): the tap-sum runs in the conv's NATIVE N-minor CNHW
+    # layout — the transposed view is a bitcast, killing the 347 MB
+    # standard-layout relayout copy per symmetric branch that feeds the
+    # v1 kernel (measured ~0.9 ms each at change_stride eval scale,
+    # tools/profile_ncn_layout.py). Needs 128-lane granularity on the
+    # flat-N axis; P2P_TAPSUM=v1 forces the windowed-DMA kernel.
+    p_right = (-(n + p)) % 128
+    while p_right < p:
+        p_right += 128
+    np_ = n + p + p_right
+    use_pallas_t = (
+        cout == 1 and _tpu_backend() and _pallas_ok()
+        and os.environ.get("P2P_TAPSUM", "v2") != "v1"
+        and _tap_sum_feasible_t(h2 * w2, np_, n)
+    )
     use_pallas = (
-        cout == 1 and _tpu_backend() and n % 8 == 0 and _pallas_ok()
+        not use_pallas_t
+        and cout == 1 and _tpu_backend() and n % 8 == 0 and _pallas_ok()
         # Mosaic DMA windows must be lane-aligned: the flattened minor
         # (h2*w2) dim must fill whole 128-lane tiles (true at every
         # snapped eval/train scale; tiny init shapes take the jnp path)
@@ -334,8 +406,25 @@ def conv4d_fold_out(
         and _tap_sum_feasible(n, h2 * w2 * x.dtype.itemsize)
     )
     xf = x.reshape(bs * h1 * w1, h2, w2, cin)
-    pad = k // 2
-    p = pad * w1 + pad
+    if use_pallas_t:
+        # pre-pad the conv INPUT rows to Np = p + n + p_right (lane
+        # multiple); pad-row values are never read unmasked
+        xf = jnp.pad(xf, ((p, p_right), (0, 0), (0, 0), (0, 0)))
+        vf = w.transpose(2, 3, 4, 0, 1, 5).reshape(k, k, cin, k * k * cout)
+        z = jax.lax.conv_general_dilated(
+            xf, vf, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "CNHW"),
+            preferred_element_type=(
+                jnp.float32 if x.dtype == jnp.float32 else None
+            ),
+        ).astype(x.dtype)  # (9, Np, h2, w2) physically N-minor
+        zt = jnp.transpose(z.reshape(k * k, np_, h2 * w2), (2, 0, 1))
+        bias0 = jnp.zeros((), jnp.float32) if b is None else b.reshape(())
+        out_t = _tap_sum_t(zt, bias0, bs, h1, w1)  # (HW, N) f32
+        out = jnp.transpose(out_t, (1, 0)).reshape(
+            bs, h1, w1, h2, w2, 1
+        )
+        return out if out_dtype is None else out.astype(out_dtype)
     if use_pallas:
         # pre-pad the kernel's (p, p+8) zero rows on the conv INPUT
         # side: conv of zero rows is zero, so the conv emits the

@@ -72,6 +72,108 @@ def _make_kernel(nb: int, h1: int, w1: int, p: int, taps):
     return kernel
 
 
+def _pick_hb(hw: int, np_: int, n: int, budget: int = 12 << 20) -> int:
+    """Largest multiple-of-8 divisor of hw fitting the v2 kernel's VMEM
+    footprint: double-buffered (9, hb, Np) bf16 input block + f32
+    accumulator + double-buffered (hb, n) f32 output block."""
+    for hb in range(min(hw - hw % 8, 256), 0, -8):
+        if hw % hb == 0 and hb * (9 * np_ * 2 * 2 + n * 4 * 3) <= budget:
+            return hb
+    return 0
+
+
+def tap_sum_feasible_t(hw: int, np_: int, n: int) -> bool:
+    """v2 needs 128-lane granularity on the flat-N axis (rolls/slices
+    along lanes) and a feasible row block."""
+    return n % 128 == 0 and np_ % 128 == 0 and _pick_hb(hw, np_, n) > 0
+
+
+def _make_kernel_t(hb: int, h1: int, w1: int, p: int, np_: int, n: int,
+                   taps):
+    def kernel(zt_ref, bias_ref, o_ref):
+        """Transposed-domain shift-add: the flat cell index f lives on
+        the LANE axis (the fold-out conv's native layout is
+        (hw, tap, N) with N minor), so each tap is a static lane
+        rotate instead of a sublane-windowed DMA — no relayout copy
+        ever touches the 9x z tensor.
+
+        Mosaic rotates are 32-bit only: each tap row upcasts to f32
+        first (the accumulator is f32 regardless)."""
+        f = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        row = (f // w1) % h1
+        col = f % w1
+        acc = jnp.zeros((hb, n), jnp.float32)
+        for t, (di, dj, s) in enumerate(taps):
+            v = pltpu.roll(
+                zt_ref[:, t, :].astype(jnp.float32), np_ - (p + s), axis=1
+            )[:, :n]
+            ok = (
+                (row + (di - 1) >= 0) & (row + (di - 1) < h1)
+                & (col + (dj - 1) >= 0) & (col + (dj - 1) < w1)
+            ).astype(jnp.float32)
+            acc = acc + v * ok
+        o_ref[...] = acc + bias_ref[0]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bs", "h1", "w1", "interpret")
+)
+def tap_sum_pallas_t(
+    zt: jax.Array,
+    bias: jax.Array,
+    bs: int,
+    h1: int,
+    w1: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Transposed tap-sum: zt ``(HW, 9, Np)`` -> ``(HW, N)`` f32.
+
+    ``Np = p + N + p_right`` with ``Np % 128 == 0`` and
+    ``p_right >= p`` — the conv-input prepad convention of
+    ``conv4d_fold_out``'s v2 path. zt is the fold-out conv's CNHW
+    output viewed transposed — physically a BITCAST (the conv's native
+    layout is ``{1,0,2}`` = (hw, tap, N) with N minor), which is the
+    whole point: the v1 kernel's standard-layout operand cost a 347 MB
+    relayout copy per symmetric branch at the change_stride eval scale
+    (see tools/profile_ncn_layout.py). Bit-identical to
+    :func:`tap_sum_pallas` (same 9-term f32 adds in the same order).
+    """
+    hw, t9, np_ = zt.shape
+    n = bs * h1 * w1
+    pad = K // 2
+    p = pad * w1 + pad
+    assert t9 == K * K and np_ >= n + 2 * p and np_ % 128 == 0, (
+        zt.shape, n, p)
+    taps = [
+        (di, dj, (di - pad) * w1 + (dj - pad))
+        for di in range(K)
+        for dj in range(K)
+    ]
+    hb = _pick_hb(hw, np_, n)
+    if hb == 0 or n % 128 != 0:
+        raise ValueError(
+            f"tap_sum_pallas_t infeasible for zt {zt.shape} (n={n})"
+        )
+    return pl.pallas_call(
+        _make_kernel_t(hb, h1, w1, p, np_, n, taps),
+        grid=(hw // hb,),
+        in_specs=[
+            pl.BlockSpec((hb, t9, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((hb, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hw, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(zt, bias.astype(jnp.float32).reshape(1))
+
+
 @functools.partial(
     jax.jit, static_argnames=("bs", "h1", "w1", "interpret", "prepadded")
 )

@@ -37,6 +37,7 @@ def make_train_step(
     weight_epi=(1.0, 1.0),
     backbone_train_bn: bool = False,
     remat: str = "auto",
+    n_data_shards: int = 1,
 ):
     """Build ``train_step(state, batch, rng) -> (state, metrics)``.
 
@@ -47,7 +48,10 @@ def make_train_step(
     372.9 vs 602.7 ms/step at the reference best-model scale) while the
     proposal volume B*ptmax*panc stays within the measured 16 GB
     envelope (12800 at 480x320 fits; batch 8 = 25600 OOMs), else
-    "both".
+    "both". Under pjit the traced batch is the GLOBAL batch but the
+    memory envelope is per chip — ``n_data_shards`` (the mesh's data
+    axis size, wired by ``make_sharded_train_step``) divides the volume
+    so an 8-chip global batch 32 still resolves "none".
     """
 
     def loss_fn(params, batch_stats, batch, rng):
@@ -55,7 +59,8 @@ def make_train_step(
         if mode == "auto":
             b = batch["im1"].shape[0]
             panc = model.config.regressor.panc
-            mode = "none" if b * ptmax * panc <= 12800 else "both"
+            per_chip = (b * ptmax * panc) // max(n_data_shards, 1)
+            mode = "none" if per_chip <= 12800 else "both"
         variables = {"params": params, "batch_stats": batch_stats}
         outputs, updates = model.apply(
             variables,
@@ -123,6 +128,7 @@ def make_sharded_train_step(model, tx, mesh: Mesh, **kwargs):
     """
     from patch2pix_tpu.ops.dispatch import spmd_safe_dispatch as no_pallas
 
+    kwargs.setdefault("n_data_shards", mesh.shape.get("data", 1))
     step = make_train_step(model, tx, **kwargs)
     repl = NamedSharding(mesh, P())
     batch_sh = {

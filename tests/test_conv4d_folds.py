@@ -89,6 +89,97 @@ def test_tap_sum_pallas_interpret_matches_jnp(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_tap_sum_t_interpret_matches_v1_math(rng):
+    """The transposed-domain (v2) kernel == the v1 shift-add math on a
+    non-square grid, in interpret mode."""
+    from patch2pix_tpu.ops.conv4d import _flat_shift_masks
+    from patch2pix_tpu.ops.tap_sum_pallas import (
+        tap_sum_feasible_t,
+        tap_sum_pallas_t,
+    )
+
+    bs, h1, w1, hw = 1, 8, 16, 8
+    n = bs * h1 * w1  # 128: v2 needs 128-lane granularity on flat N
+    p = w1 + 1
+    p_right = (-(n + p)) % 128
+    while p_right < p:
+        p_right += 128
+    np_ = n + p + p_right
+    assert tap_sum_feasible_t(hw, np_, n)
+    z = rng.standard_normal((9, n, hw)).astype(np.float32)
+    bias = np.float32(0.37)
+
+    masks = _flat_shift_masks(h1, w1, 3)
+    want = np.full((n, hw), bias, np.float32)
+    zp = np.pad(z, ((0, 0), (p, p), (0, 0)))
+    for t in range(9):
+        di, dj = t // 3, t % 3
+        s = (di - 1) * w1 + (dj - 1)
+        want += zp[t, p + s : p + s + n] * np.tile(
+            masks[t], bs
+        ).astype(np.float32)[:, None]
+
+    # v2 convention: zt (HW, 9, Np) with (p, p_right) zero pad rows
+    zt = np.transpose(
+        np.pad(z, ((0, 0), (p, p_right), (0, 0))), (2, 0, 1)
+    )
+    got = np.asarray(
+        tap_sum_pallas_t(
+            jnp.asarray(zt), jnp.float32(bias), bs, h1, w1, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got.T, want, rtol=1e-5, atol=1e-5)
+
+
+def test_tap_sum_t_vjp_matches_autodiff(rng):
+    """Custom VJP of the transposed-domain _tap_sum_t == autodiff of
+    the explicit formulation."""
+    from patch2pix_tpu.ops.conv4d import _flat_shift_masks, _tap_sum_t
+
+    bs, h1, w1, hw = 1, 8, 16, 8
+    n = bs * h1 * w1
+    p = w1 + 1
+    p_right = (-(n + p)) % 128
+    while p_right < p:
+        p_right += 128
+    np_ = n + p + p_right
+    z = jnp.asarray(rng.standard_normal((9, n, hw)), jnp.float32)
+    bias = jnp.float32(0.1)
+    g = jnp.asarray(rng.standard_normal((hw, n)), jnp.float32)
+
+    def explicit(zf, b):
+        masks = _flat_shift_masks(h1, w1, 3)
+        out = jnp.full((n, hw), b, jnp.float32)
+        zp = jnp.pad(zf, ((0, 0), (p, p), (0, 0)))
+        for t in range(9):
+            di, dj = t // 3, t % 3
+            s = (di - 1) * w1 + (dj - 1)
+            view = jax.lax.slice_in_dim(zp[t], p + s, p + s + n, axis=0)
+            out = out + view * jnp.asarray(
+                np.tile(masks[t], bs), jnp.float32
+            )[:, None]
+        return out.T  # (hw, n), the v2 output orientation
+
+    zt = jnp.transpose(jnp.pad(z, ((0, 0), (p, p_right), (0, 0))), (2, 0, 1))
+    out, vjp = jax.vjp(lambda zt, b: _tap_sum_t(zt, b, bs, h1, w1), zt, bias)
+    out_ref, vjp_ref = jax.vjp(explicit, z, bias)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+    dzt, db = vjp(g)
+    dz_ref, db_ref = vjp_ref(g)
+    # pad lanes never contribute -> zero cotangent there
+    np.testing.assert_array_equal(np.asarray(dzt[:, :, :p]), 0.0)
+    np.testing.assert_array_equal(np.asarray(dzt[:, :, p + n:]), 0.0)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(dzt[:, :, p : p + n]), (1, 2, 0)),
+        np.asarray(dz_ref), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(db), np.asarray(db_ref), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_tap_sum_vjp_matches_autodiff(rng):
     """Custom VJP of _tap_sum == autodiff of the explicit formulation."""
     from patch2pix_tpu.ops.conv4d import _flat_shift_masks, _tap_sum

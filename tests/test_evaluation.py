@@ -339,11 +339,12 @@ def test_matcher_cap_stats(tmp_path, tiny_matcher):
         p = str(tmp_path / f"cap{i}.jpg")
         Image.fromarray(rng.integers(0, 255, (240, 320, 3), np.uint8)).save(p)
         paths.append(p)
-    tiny_matcher.cap_stats = {"pairs": 0, "cap_hits": 0, "valid_counts": []}
+    tiny_matcher.cap_stats = tiny_matcher._fresh_cap_stats()
     tiny_matcher.estimate_matches(paths[0], paths[1])
     tiny_matcher.estimate_matches(paths[1], paths[0])
     s = tiny_matcher.cap_stats
-    assert s["pairs"] == 2 and len(s["valid_counts"]) == 2
-    assert all(v >= 0 for v in s["valid_counts"])
+    assert s["pairs"] == 2 and sum(s["valid_hist"]) == 2
+    assert s["valid_min"] >= 0 and s["valid_max"] >= s["valid_min"]
+    assert s["valid_sum"] >= s["valid_max"]
     # tiny images: far below the 1200 cap
     assert s["cap_hits"] == 0

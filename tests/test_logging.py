@@ -55,6 +55,40 @@ def test_prefetch_to_device_order_and_errors():
     assert raised
 
 
+def test_prefetch_early_abandon_releases_producer():
+    """A consumer that stops early (the --steps_per_epoch break in
+    train/cli.py) must release the producer thread instead of leaving
+    it blocked on a full queue with staged device buffers."""
+    import threading
+    import time
+
+    n_started = len([t for t in threading.enumerate()])
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full((2,), i, np.float32)}
+
+    it = prefetch_to_device(gen(), size=2)
+    next(it)
+    it.close()  # abandon: generator finalizer must stop the thread
+    deadline = time.time() + 5.0
+    while time.time() < deadline:
+        if len(threading.enumerate()) <= n_started:
+            break
+        time.sleep(0.05)
+    assert len(threading.enumerate()) <= n_started
+    # the producer stopped near the staging depth, not at 100
+    assert len(produced) <= 8
+
+    # tuple-shaped batches prefetch fine (error marker is a class,
+    # not a tagged tuple that device arrays get compared against)
+    tup = [(np.zeros((2,), np.float32), np.ones((2,), np.float32))]
+    out = list(prefetch_to_device(iter(tup), size=2))
+    assert len(out) == 1 and isinstance(out[0], tuple)
+
+
 def test_prefetch_with_mesh_sharding():
     """Prefetching with a NamedSharding pytree stages batches sharded
     over the data axis (the sharded train-step path in train/cli.py)."""
