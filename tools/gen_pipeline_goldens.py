@@ -43,6 +43,14 @@ CASES = {
     "train_panc8": dict(
         change_stride=False, batch=1, h=320, w=480, mode="train", panc=8
     ),  # M = 2*(10*15)*8 = 2400 proposals >= the fused-expansion gate
+    # REAL natural images: the reference's bundled D2Net pairs
+    # (/root/reference/examples/images/pair_{1,2,3}) through the eval
+    # flexible-resize — closes the gap that seeded-noise fixtures
+    # never exercise natural-image statistics (sky, repeated facades,
+    # low-texture regions) on the CI parity path
+    "real1_s16": dict(change_stride=False, batch=1, real_pair=1, imsize=512),
+    "real2_cs": dict(change_stride=True, batch=1, real_pair=2, imsize=512),
+    "real3_s16": dict(change_stride=False, batch=1, real_pair=3, imsize=512),
 }
 SEED = 0
 IM_SEED = 10
@@ -92,8 +100,19 @@ def main():
         net, _ = build_reference_model(
             case["change_stride"], seed=SEED, panc=panc
         )
-        im1 = seeded_images(case["batch"], case["h"], case["w"], seed=IM_SEED)
-        im2 = seeded_images(case["batch"], case["h"], case["w"], seed=IM_SEED + 1)
+        if case.get("real_pair"):
+            from tests.test_pipeline_e2e_parity import load_real_pair
+
+            pair = load_real_pair(
+                case["real_pair"], case["imsize"], case["change_stride"]
+            )
+            assert pair is not None, "reference example images missing"
+            im1, im2 = pair
+        else:
+            im1 = seeded_images(
+                case["batch"], case["h"], case["w"], seed=IM_SEED)
+            im2 = seeded_images(
+                case["batch"], case["h"], case["w"], seed=IM_SEED + 1)
         t1 = torch.from_numpy(im1.transpose(0, 3, 1, 2))
         t2 = torch.from_numpy(im2.transpose(0, 3, 1, 2))
         if case.get("mode") == "train":
@@ -113,8 +132,10 @@ def main():
             arrays[f"fine_scores_{b}"] = np.asarray(rfs[b].cpu(), np.float32)
         meta = dict(
             seed=SEED, im_seed=IM_SEED, batch=case["batch"],
-            h=case["h"], w=case["w"], change_stride=case["change_stride"],
+            h=case.get("h"), w=case.get("w"),
+            change_stride=case["change_stride"],
             mode=case.get("mode", "eval"), panc=panc,
+            real_pair=case.get("real_pair"), imsize=case.get("imsize"),
             shapes={k: list(s) for k, s in state_dict_shapes(net).items()},
         )
         path = os.path.join(FIXDIR, f"pipeline_golden_{tag}.npz")
