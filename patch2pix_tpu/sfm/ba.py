@@ -57,6 +57,24 @@ class BAProblem(NamedTuple):
     fixed_cams: jax.Array
 
 
+def bucket_dim(n: int, base: int = 8) -> int:
+    """Static shape bucket: the next value in {base*2^k, 1.5*base*2^k}.
+
+    ``ba_step`` is one large jitted program (Hessian assembly + dense
+    reduced solve); without bucketing every (C, P, M) triple of a
+    growing incremental reconstruction is a fresh XLA compile — the
+    dominant cost of the round-4 50-camera demo (see BASELINE.md
+    round 5). Geometric ~1.5x steps cap the pad waste at 50% and the
+    compile count at O(log n) per dimension.
+    """
+    b = base
+    while b < n:
+        if (b * 3) // 2 >= n:
+            return (b * 3) // 2
+        b *= 2
+    return b
+
+
 def build_problem(
     Rs: np.ndarray,
     ts: np.ndarray,
@@ -65,23 +83,52 @@ def build_problem(
     pt_idx: np.ndarray,
     uv: np.ndarray,
     fixed_cams: Optional[np.ndarray] = None,
+    bucket: bool = False,
 ) -> BAProblem:
-    """Host-side setup (sorts observations by point for locality)."""
+    """Host-side setup (sorts observations by point for locality).
+
+    ``bucket=True`` pads (C, P, M) to static shape buckets so a
+    growing reconstruction reuses compiled ``ba_step`` programs:
+      * pad cameras are identity poses marked ``fixed_cams`` (the
+        gauge path already solves them to a zero update),
+      * pad points carry no observations (their damped V solves to a
+        zero update),
+      * pad observations have ``obs_w = 0`` and reference the last pad
+        camera/point, so every Hessian/Schur contribution vanishes.
+    """
     order = np.argsort(pt_idx, kind="stable")
     C = Rs.shape[0]
+    P = X.shape[0]
+    M = len(order)
     if fixed_cams is None:
         fixed = np.zeros(C, bool)
         fixed[0] = True  # gauge: hold the first camera
     else:
         fixed = np.asarray(fixed_cams, bool)
+    cam_s = np.asarray(cam_idx)[order]
+    pt_s = np.asarray(pt_idx)[order]
+    uv_s = np.asarray(uv)[order]
+    obs_w = np.ones(M, np.float32)
+    if bucket:
+        Cb, Pb, Mb = bucket_dim(C), bucket_dim(P, 64), bucket_dim(M, 256)
+        Rs = np.concatenate(
+            [Rs, np.broadcast_to(np.eye(3), (Cb - C, 3, 3))])
+        ts = np.concatenate([ts, np.zeros((Cb - C, 3))])
+        fixed = np.concatenate([fixed, np.ones(Cb - C, bool)])
+        X = np.concatenate([X, np.zeros((Pb - P, 3))])
+        cam_s = np.concatenate(
+            [cam_s, np.full(Mb - M, Cb - 1, cam_s.dtype)])
+        pt_s = np.concatenate([pt_s, np.full(Mb - M, Pb - 1, pt_s.dtype)])
+        uv_s = np.concatenate([uv_s, np.zeros((Mb - M, 2), uv_s.dtype)])
+        obs_w = np.concatenate([obs_w, np.zeros(Mb - M, np.float32)])
     return BAProblem(
         Rs=jnp.asarray(Rs, jnp.float32),
         ts=jnp.asarray(ts, jnp.float32),
         X=jnp.asarray(X, jnp.float32),
-        cam_idx=jnp.asarray(np.asarray(cam_idx)[order], jnp.int32),
-        pt_idx=jnp.asarray(np.asarray(pt_idx)[order], jnp.int32),
-        uv=jnp.asarray(np.asarray(uv)[order], jnp.float32),
-        obs_w=jnp.ones(len(order), jnp.float32),
+        cam_idx=jnp.asarray(cam_s, jnp.int32),
+        pt_idx=jnp.asarray(pt_s, jnp.int32),
+        uv=jnp.asarray(uv_s, jnp.float32),
+        obs_w=jnp.asarray(obs_w),
         fixed_cams=jnp.asarray(fixed, bool),
     )
 

@@ -15,6 +15,8 @@ triangulate new tracks, bundle adjust} -> COLMAP-format export
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -121,6 +123,13 @@ class IncrementalSfM:
         self.px_thres = px_thres
         self.key = jax.random.PRNGKey(seed)
         self.log = log
+        # per-stage wall-clock attribution (seconds) + compile proxies:
+        # *_first_shape_s accumulates calls at a NEW jit shape (compile
+        # + run), so compile-vs-steady-state splits are visible in the
+        # demo summaries
+        self.stats: Dict[str, float] = defaultdict(float)
+        self._ba_shapes: set = set()
+        self._pnp_shapes: set = set()
         if verify_pairs:
             pair_matches = self._verify_pairs(pair_matches)
         self.matches = pair_matches
@@ -227,6 +236,7 @@ class IncrementalSfM:
     def _triangulate_tracks(self):
         """(Re)triangulate all tracks with >=2 registered observations,
         batched over a single device call per image pair group."""
+        t_start = time.perf_counter()
         reg = set(self.rec.registered)
         jobs = []  # (track_id, im_a, im_b, uv_a, uv_b)
         for tid, tr in enumerate(self.tracks):
@@ -286,6 +296,7 @@ class IncrementalSfM:
                 if ok:
                     self.rec.points[tid] = x
                     n_new += 1
+        self.stats["triangulate_s"] += time.perf_counter() - t_start
         self.log(f"triangulated {n_new} new points ({len(self.rec.points)} total)")
 
     # ------------------------------------------------- registration
@@ -300,80 +311,157 @@ class IncrementalSfM:
                     count[im] = count.get(im, 0) + 1
         return sorted(count.items(), key=lambda kv: -kv[1])
 
+    # PnP candidate batch width: candidates are evaluated in ONE
+    # vmapped device RANSAC call instead of one dispatch per attempt
+    PNP_BATCH = 8
+
     def register_next(self, thres_scale: float = 1.0) -> Optional[int]:
-        cands = self._candidates()
-        for im, n_vis in cands:
-            if n_vis < 6:
-                continue
-            tids = [
-                tid for tid in self.rec.points if im in self.tracks[tid]
-            ]
-            X = np.stack([self.rec.points[t] for t in tids])
-            uv = np.stack([self.tracks[t][im] for t in tids])
-            if len(X) > _BUCKETS[-1]:
-                sel = np.random.default_rng(im).choice(
-                    len(X), _BUCKETS[-1], replace=False
+        """Register ONE image (the best-passing candidate)."""
+        regs = self.register_batch(thres_scale=thres_scale, max_accept=1)
+        return regs[0] if regs else None
+
+    def register_batch(
+        self, thres_scale: float = 1.0, max_accept: Optional[int] = None
+    ) -> List[int]:
+        """Try the top candidates in one vmapped PnP RANSAC call and
+        register every passing image (PnP against the CURRENT map is
+        independent per image). Returns registered image ids."""
+        t_start = time.perf_counter()
+        cands = [(im, nv) for im, nv in self._candidates() if nv >= 6]
+        registered: List[int] = []
+        ci = 0
+        while ci < len(cands) and not (
+            max_accept is not None and len(registered) >= max_accept
+        ):
+            batch = cands[ci: ci + self.PNP_BATCH]
+            ci += self.PNP_BATCH
+            jobs = []
+            for im, _ in batch:
+                tids = [
+                    tid for tid in self.rec.points if im in self.tracks[tid]
+                ]
+                X = np.stack([self.rec.points[t] for t in tids])
+                uv = np.stack([self.tracks[t][im] for t in tids])
+                if len(X) > _BUCKETS[-1]:
+                    sel = np.random.default_rng(im).choice(
+                        len(X), _BUCKETS[-1], replace=False
+                    )
+                    X, uv = X[sel], uv[sel]
+                f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
+                jobs.append((im, X, uv, len(tids),
+                             float((thres_scale * self.px_thres / f) ** 2)))
+            # one shared obs bucket + fixed batch width -> one compiled
+            # vmapped program per (PNP_BATCH, bucket) pair
+            b = max(_bucket_pad(len(j[1])) for j in jobs)
+            Xs, ps, valids, thrs = [], [], [], []
+            for im, X, uv, _, thr in jobs:
+                (X_pad, uv_pad), valid = _pad_valid([X, uv], len(X))
+                if len(X_pad) < b:
+                    X_pad = np.concatenate(
+                        [X_pad, np.repeat(X_pad[-1:], b - len(X_pad), 0)])
+                    uv_pad = np.concatenate(
+                        [uv_pad, np.repeat(uv_pad[-1:], b - len(uv_pad), 0)])
+                    valid = np.concatenate([valid, np.zeros(b - len(valid), bool)])
+                Xs.append(X_pad)
+                ps.append(self._normalize_np(uv_pad, self.K[im]))
+                valids.append(valid)
+                thrs.append(thr)
+            for _ in range(self.PNP_BATCH - len(jobs)):  # pad batch width
+                Xs.append(Xs[-1])
+                ps.append(ps[-1])
+                valids.append(np.zeros_like(valids[-1]))
+                thrs.append(thrs[-1])
+            keys = jax.random.split(self._next_key(), self.PNP_BATCH)
+            shape_key = (self.PNP_BATCH, b)
+            self._pnp_shapes.add(shape_key)
+            res = jax.vmap(
+                lambda k, X, p, v, t: ransac_pnp(k, X, p, 256, t, valid=v)
+            )(
+                keys,
+                jnp.asarray(np.stack(Xs), jnp.float32),
+                jnp.asarray(np.stack(ps), jnp.float32),
+                jnp.asarray(np.stack(valids)),
+                jnp.asarray(np.stack(thrs), jnp.float32),
+            )
+            n_inl = np.asarray(res.num_inliers)
+            for bi, (im, _, _, n_tids, _) in enumerate(jobs):
+                if n_inl[bi] < 6:
+                    continue
+                if max_accept is not None and len(registered) >= max_accept:
+                    break
+                self.rec.Rs[im] = np.asarray(res.R[bi], np.float64)
+                self.rec.ts[im] = np.asarray(res.t[bi], np.float64)
+                registered.append(im)
+                self.log(
+                    f"registered im {im}: {int(n_inl[bi])}/{n_tids} PnP inliers"
                 )
-                X, uv = X[sel], uv[sel]
-            (X_pad, uv_pad), valid = _pad_valid([X, uv], len(X))
-            p = normalize_points(
-                jnp.asarray(uv_pad, jnp.float32),
-                jnp.asarray(self.K[im], jnp.float32),
-            )
-            f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
-            res = ransac_pnp(
-                self._next_key(), jnp.asarray(X_pad, jnp.float32), p, 256,
-                float((thres_scale * self.px_thres / f) ** 2),
-                valid=jnp.asarray(valid),
-            )
-            if int(res.num_inliers) < 6:
-                continue
-            self.rec.Rs[im] = np.asarray(res.R, np.float64)
-            self.rec.ts[im] = np.asarray(res.t, np.float64)
-            self.log(
-                f"registered im {im}: {int(res.num_inliers)}/{len(tids)} PnP inliers"
-            )
-            return im
-        return None
+        self.stats["register_s"] += time.perf_counter() - t_start
+        self.stats["pnp_shapes"] = len(self._pnp_shapes)
+        return registered
 
     # ------------------------------------------------- bundle adjust
 
     def assemble_ba(self):
         """Flatten the reconstruction into BA problem arrays:
         (Rs, ts, X, cam_idx, pt_idx, uv_normalized, f_mean, reg, tids).
-        Shared by the single-device and mesh-sharded solvers."""
+        Shared by the single-device and mesh-sharded solvers.
+
+        Fully host-vectorised: observations are gathered into flat
+        numpy arrays and normalized per CAMERA in one pass (a previous
+        version issued one device ``normalize_points`` call per
+        observation — ~100 us of dispatch x 65k observations dominated
+        every BA call at the 50-camera scale)."""
         reg = self.rec.registered
         im2c = {im: c for c, im in enumerate(reg)}
         tids = sorted(self.rec.points.keys())
         t2p = {t: p for p, t in enumerate(tids)}
-        cam_idx, pt_idx, uv = [], [], []
+        cam_idx, pt_idx, uv_px = [], [], []
         for t in tids:
             for im, xy in self.tracks[t].items():
                 if im not in im2c:
                     continue
                 cam_idx.append(im2c[im])
                 pt_idx.append(t2p[t])
-                K = self.K[im]
-                uv.append(normalize_points(
-                    jnp.asarray(xy[None], jnp.float32),
-                    jnp.asarray(K, jnp.float32))[0])
+                uv_px.append(xy)
+        cam_idx = np.asarray(cam_idx, np.int32)
+        pt_idx = np.asarray(pt_idx, np.int32)
+        uv_px = np.asarray(uv_px, np.float64).reshape(-1, 2)
+        uv = np.empty_like(uv_px, dtype=np.float32)
+        for im, c in im2c.items():
+            sel = cam_idx == c
+            if sel.any():
+                uv[sel] = self._normalize_np(uv_px[sel], self.K[im])
         f_mean = float(np.mean([self.K[im][0, 0] for im in reg]))
         return (
             np.stack([self.rec.Rs[im] for im in reg]),
             np.stack([self.rec.ts[im] for im in reg]),
             np.stack([self.rec.points[t] for t in tids]),
-            np.asarray(cam_idx), np.asarray(pt_idx),
-            np.asarray(uv, np.float32), f_mean, reg, tids,
+            cam_idx, pt_idx, uv, f_mean, reg, tids,
         )
 
     def bundle_adjust(self, max_iters: int = 15, huber_px: float = 3.0):
+        t0 = time.perf_counter()
         Rs, ts, X, cam_idx, pt_idx, uv, f_mean, reg, tids = self.assemble_ba()
+        self.stats["ba_assemble_s"] += time.perf_counter() - t0
         im2c = {im: c for c, im in enumerate(reg)}
         t2p = {t: p for p, t in enumerate(tids)}
-        prob = build_problem(Rs, ts, X, cam_idx, pt_idx, uv)
+        t0 = time.perf_counter()
+        # bucketed shapes: the jitted LM step compiles once per
+        # (C, P, M) BUCKET triple instead of at every growing shape
+        prob = build_problem(Rs, ts, X, cam_idx, pt_idx, uv, bucket=True)
+        shape_key = tuple(prob.uv.shape) + tuple(prob.X.shape) + (
+            prob.Rs.shape[0],)
+        first = shape_key not in self._ba_shapes
+        self._ba_shapes.add(shape_key)
         solved, c = run_ba(
             prob, max_iters=max_iters, huber_delta=huber_px / f_mean
         )
+        dt = time.perf_counter() - t0
+        self.stats["ba_solve_s"] += dt
+        if first:
+            self.stats["ba_first_shape_time"] += dt
+            self.stats["ba_shapes"] = len(self._ba_shapes)
+        self.stats["ba_calls"] = self.stats.get("ba_calls", 0) + 1
         for im, ci in im2c.items():
             self.rec.Rs[im] = np.asarray(solved.Rs[ci], np.float64)
             self.rec.ts[im] = np.asarray(solved.ts[ci], np.float64)
@@ -395,6 +483,7 @@ class IncrementalSfM:
         median map reprojection 30 px, ring-closure images
         unregistrable).
         """
+        t_start = time.perf_counter()
         max_px = max_px if max_px is not None else 3.0 * self.px_thres
         reg = set(self.rec.registered)
         n_obs_dropped, drop = 0, []
@@ -421,6 +510,7 @@ class IncrementalSfM:
                 drop.append(tid)
         for tid in drop:
             del self.rec.points[tid]
+        self.stats["filter_s"] += time.perf_counter() - t_start
         self.log(
             f"filtered {n_obs_dropped} obs, {len(drop)} points "
             f"({len(self.rec.points)} remain)"
@@ -433,19 +523,20 @@ class IncrementalSfM:
         self.init_pair()
         self.bundle_adjust()
         self.filter_points()
-        added = 0
         while True:
-            im = self.register_next()
-            if im is None:
+            # one vmapped PnP pass registers up to ba_every candidates
+            # against the current map; frontier images whose support
+            # appears only after this round's triangulation register
+            # next round
+            regs = self.register_batch(max_accept=ba_every)
+            if not regs:
                 break
             self._triangulate_tracks()
-            added += 1
-            if added % ba_every == 0:
-                self.bundle_adjust()
-                self.filter_points()
-                # dropped tracks may re-triangulate under the adjusted
-                # poses (triangulation skips only live points)
-                self._triangulate_tracks()
+            self.bundle_adjust()
+            self.filter_points()
+            # dropped tracks may re-triangulate under the adjusted
+            # poses (triangulation skips only live points)
+            self._triangulate_tracks()
         if global_ba:
             self.bundle_adjust(max_iters=30)
             self.filter_points()
@@ -454,12 +545,13 @@ class IncrementalSfM:
         # refined map with a widened RANSAC gate, then re-adjusted
         rescued = 0
         while True:
-            im = self.register_next(thres_scale=2.0)
-            if im is None:
+            regs = self.register_batch(thres_scale=2.0)
+            if not regs:
                 break
-            self.log(f"rescued im {im}")
+            for im in regs:
+                self.log(f"rescued im {im}")
             self._triangulate_tracks()
-            rescued += 1
+            rescued += len(regs)
         if rescued and global_ba:
             self.bundle_adjust(max_iters=15)
             self.filter_points()

@@ -89,6 +89,11 @@ def main():
     print(f"incremental: {len(rec.registered)} cams, "
           f"{len(rec.points)} points, ATE {ate_inc:.4f} "
           f"[{t_inc:.1f}s = {t_inc / args.cams:.2f} s/image]")
+    stage_stats = {k: (round(v, 2) if isinstance(v, float) else v)
+                   for k, v in sorted(sfm.stats.items())}
+    accounted = sum(v for k, v in sfm.stats.items() if k.endswith("_s"))
+    stage_stats["host_bookkeeping_s"] = round(t_inc - accounted, 2)
+    print(f"stage attribution: {stage_stats}")
 
     # mesh-sharded distributed BA refinement
     Rs, ts, X, cam_idx, pt_idx, uv, f_mean, reg, tids = sfm.assemble_ba()
@@ -137,6 +142,7 @@ def main():
         "ate_pct_of_radius": round(100 * float(ate_dba) / radius, 3),
         "dist_ba_psum_mb_per_iter": round(psum_mb, 2),
         "mesh": args.mesh,
+        "stage_attribution": stage_stats,
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
