@@ -83,11 +83,54 @@ def warp_homography(im: np.ndarray, H: np.ndarray) -> np.ndarray:
     return out.reshape(h, w, 3).astype(np.float32)
 
 
+def load_texture_pool(paths) -> list:
+    """Real photographs as texture sources (e.g. the reference's
+    bundled D2Net example images) — natural-image statistics instead of
+    band-limited noise for the synthetic-pair generator. Returns a list
+    of float32 [0, 1] HxWx3 arrays."""
+    from PIL import Image
+
+    pool = []
+    for p in paths:
+        im = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+        pool.append(im)
+    return pool
+
+
+def textured_image_from_pool(
+    rs: np.random.RandomState, h: int, w: int, pool: list
+) -> np.ndarray:
+    """Random crop (+flip/brightness jitter) of a pooled real image,
+    resized to (h, w) if the crop must shrink to fit."""
+    im = pool[rs.randint(len(pool))]
+    ih, iw = im.shape[:2]
+    # crop at a random scale in [1, 2]x the target, then box-resize
+    s = rs.uniform(1.0, min(2.0, ih / h, iw / w)) if (
+        ih >= h and iw >= w) else 1.0
+    ch, cw = min(int(h * s), ih), min(int(w * s), iw)
+    y0 = rs.randint(ih - ch + 1)
+    x0 = rs.randint(iw - cw + 1)
+    crop = im[y0:y0 + ch, x0:x0 + cw]
+    if (ch, cw) != (h, w):
+        ys = np.clip((np.arange(h) * ch / h).astype(int), 0, ch - 1)
+        xs = np.clip((np.arange(w) * cw / w).astype(int), 0, cw - 1)
+        crop = crop[ys][:, xs]
+    if rs.rand() < 0.5:
+        crop = crop[:, ::-1]
+    crop = np.clip(crop * rs.uniform(0.7, 1.3) + rs.uniform(-0.08, 0.08),
+                   0.0, 1.0)
+    return np.ascontiguousarray(crop, np.float32)
+
+
 def make_pair(
     rs: np.random.RandomState, h: int, w: int,
     max_angle: float = 0.12, max_shift: float = 0.25,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One planar-scene pair. Returns (im1, im2, F) with F in pixel frame."""
+    texture_pool: list | None = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One planar-scene pair. Returns (im1, im2, F, H) with F and the
+    plane homography H in the pixel frame (H gives exact dense
+    correspondence x2 = H x1 — used by the self-supervised backbone
+    warm-up)."""
     f = 0.9 * max(h, w)
     K = np.array([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float64)
     R = rot_xyz(*(rs.uniform(-max_angle, max_angle, 3)))
@@ -100,9 +143,12 @@ def make_pair(
     F = Kinv.T @ skew(t) @ R @ Kinv
     F /= np.linalg.norm(F)
 
-    im1 = textured_image(rs, h, w)
+    if texture_pool:
+        im1 = textured_image_from_pool(rs, h, w, texture_pool)
+    else:
+        im1 = textured_image(rs, h, w)
     im2 = warp_homography(im1, H)
-    return im1, im2, F.astype(np.float32)
+    return im1, im2, F.astype(np.float32), H.astype(np.float32)
 
 
 def imagenet_normalize(im: np.ndarray) -> np.ndarray:
@@ -112,17 +158,24 @@ def imagenet_normalize(im: np.ndarray) -> np.ndarray:
 
 
 def synthetic_batch(
-    rs: np.random.RandomState, batch: int, h: int, w: int
+    rs: np.random.RandomState, batch: int, h: int, w: int,
+    texture_pool: list | None = None,
+    with_h: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """A training batch dict {im1, im2, F} of epipolar-consistent pairs."""
-    im1s, im2s, fs = [], [], []
+    """A training batch dict {im1, im2, F} of epipolar-consistent pairs
+    (optionally + the exact plane homographies ``H``)."""
+    im1s, im2s, fs, hs = [], [], [], []
     for _ in range(batch):
-        im1, im2, F = make_pair(rs, h, w)
+        im1, im2, F, H = make_pair(rs, h, w, texture_pool=texture_pool)
         im1s.append(imagenet_normalize(im1))
         im2s.append(imagenet_normalize(im2))
         fs.append(F)
-    return {
+        hs.append(H)
+    out = {
         "im1": np.stack(im1s),
         "im2": np.stack(im2s),
         "F": np.stack(fs),
     }
+    if with_h:
+        out["H"] = np.stack(hs)
+    return out

@@ -279,21 +279,26 @@ class IncrementalSfM:
                 p1, p2,
             )
             X = np.asarray(X, np.float64)[: len(js)]
-            # chirality + reprojection gating
-            for (tid, *_), x in zip(js, X):
-                ok = True
-                for im in self.tracks[tid]:
-                    if im not in reg:
-                        continue
-                    pc = self.rec.Rs[im] @ x + self.rec.ts[im]
-                    if pc[2] <= 1e-6:
-                        ok = False
-                        break
-                    proj = self.K[im] @ (pc / pc[2])
-                    if np.linalg.norm(proj[:2] - self.tracks[tid][im]) > 3 * self.px_thres:
-                        ok = False
-                        break
-                if ok:
+            # VECTORISED chirality + reprojection gating on the two
+            # triangulating views (the remaining observations are
+            # enforced by the post-BA filter_points pass, which drops
+            # inconsistent obs/points wholesale). The per-point
+            # per-observation python loop this replaces was the
+            # dominant triangulation cost at 120 cameras (427 s).
+            ok = np.ones(len(js), bool)
+            for im, uvs in (
+                (a, np.stack([j[3] for j in js])),
+                (b, np.stack([j[4] for j in js])),
+            ):
+                pc = X @ self.rec.Rs[im].T + self.rec.ts[im]
+                ok &= pc[:, 2] > 1e-6
+                proj = (self.K[im] @ (pc / np.maximum(
+                    pc[:, 2:3], 1e-9)).T).T[:, :2]
+                ok &= (
+                    np.linalg.norm(proj - uvs, axis=1) <= 3 * self.px_thres
+                )
+            for (tid, *_), x, good in zip(js, X, ok):
+                if good:
                     self.rec.points[tid] = x
                     n_new += 1
         self.stats["triangulate_s"] += time.perf_counter() - t_start
@@ -321,7 +326,8 @@ class IncrementalSfM:
         return regs[0] if regs else None
 
     def register_batch(
-        self, thres_scale: float = 1.0, max_accept: Optional[int] = None
+        self, thres_scale: float = 1.0, max_accept: Optional[int] = None,
+        min_inliers: int = 30,
     ) -> List[int]:
         """Try the top candidates in one vmapped PnP RANSAC call and
         register every passing image (PnP against the CURRENT map is
@@ -384,16 +390,41 @@ class IncrementalSfM:
                 jnp.asarray(np.stack(thrs), jnp.float32),
             )
             n_inl = np.asarray(res.num_inliers)
-            for bi, (im, _, _, n_tids, _) in enumerate(jobs):
+            Rb = np.asarray(res.R, np.float64)
+            tb = np.asarray(res.t, np.float64)
+            for bi, (im, X, _, n_tids, _) in enumerate(jobs):
                 if n_inl[bi] < 6:
+                    continue
+                # acceptance is ALWAYS verified at the STRICT (1x)
+                # threshold, whatever gate RANSAC searched with: a
+                # widened rescue gate may fit a grossly wrong pose on
+                # borderline support (measured at 120 cams: one junk
+                # rescue registration blew the ATE from <0.1% to 58%
+                # of scene radius)
+                f = (self.K[im][0, 0] + self.K[im][1, 1]) / 2
+                pc = X @ Rb[bi].T + tb[bi]
+                ok_z = pc[:, 2] > 1e-6
+                proj = pc[:, :2] / np.maximum(pc[:, 2:3], 1e-6)
+                pn = ps[bi][: len(X)]
+                err = np.sum((proj - pn) ** 2, axis=1)
+                n_strict = int(np.sum(ok_z & (err < (self.px_thres / f) ** 2)))
+                # quality gate (COLMAP's abs_pose_min_num_inliers
+                # convention): a pose supported by only a handful of
+                # strict inliers is drift fit against an immature map
+                # — defer the image; its support improves once this
+                # round's accepted registrations triangulate more of
+                # its tracks (measured at 120 cams: 6-24-inlier early
+                # acceptances snowballed into an unregistrable arc)
+                if n_strict < min_inliers:
                     continue
                 if max_accept is not None and len(registered) >= max_accept:
                     break
-                self.rec.Rs[im] = np.asarray(res.R[bi], np.float64)
-                self.rec.ts[im] = np.asarray(res.t[bi], np.float64)
+                self.rec.Rs[im] = Rb[bi]
+                self.rec.ts[im] = tb[bi]
                 registered.append(im)
                 self.log(
-                    f"registered im {im}: {int(n_inl[bi])}/{n_tids} PnP inliers"
+                    f"registered im {im}: {int(n_inl[bi])}/{n_tids} PnP "
+                    f"inliers ({n_strict} strict)"
                 )
         self.stats["register_s"] += time.perf_counter() - t_start
         self.stats["pnp_shapes"] = len(self._pnp_shapes)
@@ -527,8 +558,11 @@ class IncrementalSfM:
             # one vmapped PnP pass registers up to ba_every candidates
             # against the current map; frontier images whose support
             # appears only after this round's triangulation register
-            # next round
-            regs = self.register_batch(max_accept=ba_every)
+            # next round. While the map is young (few cameras, mostly
+            # 2-view points) register one at a time — early batch
+            # acceptances against the immature map drift measurably
+            k = 1 if len(self.rec.registered) < 6 else ba_every
+            regs = self.register_batch(max_accept=k)
             if not regs:
                 break
             self._triangulate_tracks()
@@ -542,23 +576,43 @@ class IncrementalSfM:
             self.filter_points()
         # rescue pass: stragglers (typically ring-closure images whose
         # candidates straddle accumulated drift) retried under the
-        # refined map with a widened RANSAC gate, then re-adjusted
-        rescued = 0
-        while True:
-            regs = self.register_batch(thres_scale=2.0)
-            if not regs:
-                break
-            for im in regs:
-                self.log(f"rescued im {im}")
-            self._triangulate_tracks()
-            rescued += len(regs)
-        if rescued and global_ba:
-            self.bundle_adjust(max_iters=15)
-            self.filter_points()
+        # refined map with progressively widened RANSAC gates; each
+        # successful round is re-adjusted so the drift correction can
+        # unlock the next straggler
+        for scale in (2.0, 3.0, 5.0):
+            while True:
+                regs = self.register_batch(
+                    thres_scale=scale, min_inliers=12)
+                if not regs:
+                    break
+                for im in regs:
+                    self.log(f"rescued im {im} (gate x{scale})")
+                self._triangulate_tracks()
+                if global_ba:
+                    self.bundle_adjust(max_iters=15)
+                    self.filter_points()
+                    self._triangulate_tracks()
         self.log(
             f"done: {len(self.rec.registered)} cams, {len(self.rec.points)} points"
         )
         return self.rec
+
+    def registration_report(self) -> Dict[int, Dict[str, int]]:
+        """Diagnostics for unregistered images: how many tracks contain
+        the image, and how many of those have a live 3D point (the PnP
+        support)."""
+        reg = set(self.rec.registered)
+        all_ims = set()
+        for tr in self.tracks:
+            all_ims.update(tr.keys())
+        out = {}
+        for im in sorted(all_ims - reg):
+            n_tracks = sum(1 for tr in self.tracks if im in tr)
+            n_vis = sum(
+                1 for tid in self.rec.points if im in self.tracks[tid]
+            )
+            out[im] = {"tracks": n_tracks, "visible_points": n_vis}
+        return out
 
 
 def export_colmap(

@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--ba_every", type=int, default=10)
     ap.add_argument("--out", default="artifacts/sfm_scale")
     ap.add_argument("--no_fake_mesh", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args()
 
     if not args.no_fake_mesh:
@@ -73,7 +74,7 @@ def main():
     t0 = time.time()
     sfm = IncrementalSfM(
         pair_matches, {i: K for i in range(args.cams)}, px_thres=2.0,
-        log=lambda *_: None,
+        log=print if args.verbose else lambda *_: None,
     )
     t_tracks = time.time() - t0
     print(f"tracks: {len(sfm.tracks)} [{t_tracks:.1f}s]")
@@ -82,6 +83,9 @@ def main():
     rec = sfm.run(ba_every=args.ba_every)
     t_inc = time.time() - t0
     gt_centers = np.stack([-R.T @ t for R, t in zip(Rs_gt, ts_gt)])
+    if len(rec.registered) != args.cams:
+        print("registration shortfall diagnostics:",
+              sfm.registration_report())
     assert len(rec.registered) == args.cams, (
         f"only {len(rec.registered)}/{args.cams} registered"
     )

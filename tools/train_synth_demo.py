@@ -71,11 +71,34 @@ def main():
         "unfreezing the tail lets features adapt so generalisation is "
         "demonstrable",
     )
+    ap.add_argument(
+        "--real_textures", action="store_true",
+        help="texture the synthetic planes with random crops of the "
+        "reference's bundled real photographs "
+        "(/root/reference/examples/images) instead of band-limited "
+        "noise — natural-image statistics without egress",
+    )
+    ap.add_argument(
+        "--warmup_steps", type=int, default=0,
+        help="self-supervised backbone warm-up before the matching "
+        "recipe: dense InfoNCE over layer3 feature grids of "
+        "homography-related views (the exact plane H gives dense "
+        "correspondence labels). The no-egress stand-in for the "
+        "reference's ImageNet init (README.md:76) — random-init "
+        "frozen features are the measured blocker for a falling "
+        "held-out curve (ROUND4_NOTES.md item 7)",
+    )
+    ap.add_argument(
+        "--train_ncn", action="store_true",
+        help="train the NCN too (the reference optimizer covers "
+        "regressors + NCN, networks/patch2pix.py:81-91); the demo "
+        "default freezes it for step-time comparability",
+    )
     args = ap.parse_args()
 
     model = Patch2Pix(config=ModelConfig(dtype="bfloat16").resolved())
     optim_cfg = OptimConfig(lr_init=args.lr)
-    freeze = ("extract", "ncn")
+    freeze = ("extract",) if args.train_ncn else ("extract", "ncn")
     if args.unfreeze_tail:
         freeze = ("extract/conv1", "extract/bn1", "extract/layer1*",
                   "extract/layer2*", "ncn")
@@ -88,18 +111,124 @@ def main():
     tx = make_optimizer(optim_cfg, state.params, freeze=freeze)
     step = make_train_step(model, tx, ksize=2, ptmax=args.ptmax)
 
+    texture_pool = None
+    if args.real_textures:
+        import glob
+
+        from patch2pix_tpu.data.synthetic import load_texture_pool
+
+        paths = sorted(glob.glob(
+            "/root/reference/examples/images/pair_*/[12].jpg"))
+        assert paths, "reference example images not found"
+        texture_pool = load_texture_pool(paths)
+
+    def gen_batch(rs_):
+        return synthetic_batch(
+            rs_, args.batch, args.ht, args.wt,
+            texture_pool=texture_pool, with_h=args.warmup_steps > 0,
+        )
+
     # fixed data pool (train), staged onto the device ONCE as a stacked
     # (P, B, H, W, 3) tree — the old loop re-uploaded ~15 MB of images
     # through the relay every step — plus held-out pairs (val)
     rs = np.random.RandomState(7)
-    pool = [synthetic_batch(rs, args.batch, args.ht, args.wt)
-            for _ in range(args.pool // args.batch)]
+    pool = [gen_batch(rs) for _ in range(args.pool // args.batch)]
     n_pool = len(pool)
     pool_dev = jax.device_put(
         {k: np.stack([b[k] for b in pool]) for k in pool[0]}
     )
-    val = synthetic_batch(np.random.RandomState(1234), args.batch, args.ht, args.wt)
+    # held out: same texture statistics, unseen geometry/crops
+    val = synthetic_batch(
+        np.random.RandomState(1234), args.batch, args.ht, args.wt,
+        texture_pool=texture_pool,
+    )
     val_j = {k: jnp.asarray(v) for k, v in val.items()}
+
+    # ------------------------------------------------ backbone warm-up
+    if args.warmup_steps:
+        from patch2pix_tpu.train.state import TrainState
+
+        tx_w = make_optimizer(
+            OptimConfig(lr_init=1e-3), state.params,
+            freeze=("ncn", "regress_mid", "regress_fine"),
+        )
+
+        def warmup_loss(params, batch_stats, batch):
+            """Dense InfoNCE between layer3 feature grids of the two
+            homography-related views: the positive for cell i of view 1
+            is the cell its centre maps to under the exact plane H."""
+            v = {"params": params, "batch_stats": batch_stats}
+            f1s, upd = model.apply(
+                v, batch["im1"], train=True, mutable=["batch_stats"],
+                method=model.extract_pyramid,
+            )
+            v2 = {"params": params, "batch_stats": upd["batch_stats"]}
+            f2s, upd2 = model.apply(
+                v2, batch["im2"], train=True, mutable=["batch_stats"],
+                method=model.extract_pyramid,
+            )
+            f1, f2 = f1s[-1], f2s[-1]
+            b, fh, fw, c = f1.shape
+            ds = batch["im1"].shape[1] // fh
+            xs = (jnp.arange(fw, dtype=jnp.float32) + 0.5) * ds
+            ys = (jnp.arange(fh, dtype=jnp.float32) + 0.5) * ds
+            gx, gy = jnp.meshgrid(xs, ys)
+            pts = jnp.stack(
+                [gx.ravel(), gy.ravel(), jnp.ones(fh * fw)], axis=0)
+            p2 = jnp.einsum("bij,jn->bin", batch["H"], pts)
+            x2 = p2[:, 0] / p2[:, 2]
+            y2 = p2[:, 1] / p2[:, 2]
+            ix = jnp.floor(x2 / ds).astype(jnp.int32)
+            iy = jnp.floor(y2 / ds).astype(jnp.int32)
+            ok = (ix >= 0) & (ix < fw) & (iy >= 0) & (iy < fh)
+            labels = jnp.clip(iy, 0, fh - 1) * fw + jnp.clip(ix, 0, fw - 1)
+
+            def l2n(f):
+                f = f.reshape(b, fh * fw, c).astype(jnp.float32)
+                return f * jax.lax.rsqrt(
+                    jnp.sum(f * f, -1, keepdims=True) + 1e-6)
+
+            n1, n2 = l2n(f1), l2n(f2)
+            logits = jnp.einsum("bnc,bmc->bnm", n1, n2) / 0.07
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, labels[:, :, None], 2)[..., 0]
+            okf = ok.astype(jnp.float32)
+            loss = jnp.sum(nll * okf) / jnp.maximum(jnp.sum(okf), 1.0)
+            return loss, upd2["batch_stats"]
+
+        @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+        def warmup_chunk(wstate, pool, n, start):
+            def body(carry, i):
+                params, bs, opt = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, i % n_pool, keepdims=False), pool)
+                (loss, new_bs), grads = jax.value_and_grad(
+                    warmup_loss, has_aux=True)(params, bs, batch)
+                upd, opt = tx_w.update(grads, opt, params)
+                params = jax.tree.map(lambda p, u: p + u, params, upd)
+                return (params, new_bs, opt), loss
+
+            return jax.lax.scan(body, wstate, start + jnp.arange(n))
+
+        wstate = (state.params, state.batch_stats, tx_w.init(state.params))
+        done_w = 0
+        t0 = time.time()
+        while done_w < args.warmup_steps:
+            n = min(200, args.warmup_steps - done_w)
+            wstate, wloss = warmup_chunk(wstate, pool_dev, n, jnp.int32(done_w))
+            done_w += n
+            print(json.dumps({
+                "warmup_step": done_w,
+                "info_nce": float(jnp.mean(wloss[-20:])),
+            }))
+        print(json.dumps({"warmup_wall_s": round(time.time() - t0, 1)}))
+        # warmed backbone (+BN stats) enters the matching recipe; the
+        # optimizer state restarts clean
+        state = TrainState(
+            step=jnp.int32(0), params=wstate[0], batch_stats=wstate[1],
+            opt_state=tx.init(wstate[0]),
+        )
 
     # chunked multi-step: `chunk` optimizer steps run inside ONE jit via
     # lax.scan (batch picked from the resident pool by step index), so
@@ -154,8 +283,7 @@ def main():
         run_chunk.state = st
         if args.refresh_pool:
             # stage the NEXT chunk's fresh pool while this one runs
-            fresh = [synthetic_batch(rs, args.batch, args.ht, args.wt)
-                     for _ in range(n_pool)]
+            fresh = [gen_batch(rs) for _ in range(n_pool)]
             run_chunk.pool = jax.device_put(
                 {k: np.stack([b[k] for b in fresh]) for k in fresh[0]}
             )
