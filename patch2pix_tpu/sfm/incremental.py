@@ -117,10 +117,12 @@ class IncrementalSfM:
         cell: float = 4.0,
         seed: int = 0,
         verify_pairs: bool = True,
+        tri_min_angle_deg: float = 1.5,
         log: Callable[[str], None] = print,
     ):
         self.K = {i: np.asarray(k, np.float64) for i, k in intrinsics.items()}
         self.px_thres = px_thres
+        self.tri_min_angle_deg = tri_min_angle_deg
         self.key = jax.random.PRNGKey(seed)
         self.log = log
         # per-stage wall-clock attribution (seconds) + compile proxies:
@@ -198,10 +200,15 @@ class IncrementalSfM:
         f = (self.K[i][0, 0] + self.K[i][1, 1] + self.K[j][0, 0] + self.K[j][1, 1]) / 4
         return float((self.px_thres / f) ** 2)
 
-    def init_pair(self) -> Tuple[int, int]:
-        """Two-view RANSAC on every pair; pick max inliers with
-        non-degenerate translation."""
+    def init_pair(self, min_tri_angle_deg: float = 8.0) -> Tuple[int, int]:
+        """Two-view RANSAC on every pair; pick max inliers among pairs
+        whose median triangulation angle clears ``min_tri_angle_deg``
+        (COLMAP's init conditioning rule — raw max-inliers prefers the
+        SHORTEST-baseline pair, whose near-parallel rays seed the map
+        with unbounded depth noise; measured at 120-camera ring
+        density this alone collapsed the reconstruction)."""
         best, best_score = None, -1
+        best_narrow, best_narrow_score = None, -1
         rs = np.random.default_rng(0)
         for (i, j), m in self.matches.items():
             if len(m) < 16:
@@ -218,8 +225,38 @@ class IncrementalSfM:
                 valid=jnp.asarray(valid),
             )
             score = int(res.num_inliers)
-            if score > best_score:
-                best, best_score, best_res = (i, j), score, res
+            if score <= max(best_score, 15):
+                if score > best_narrow_score:
+                    best_narrow, best_narrow_score, best_narrow_res = (
+                        (i, j), score, res)
+                continue
+            # conditioning: median parallax angle of the inliers,
+            # computed from the OBSERVED bearing directions (rotating
+            # view-2 rays into view-1's frame) — triangulating first
+            # and measuring ray angles at X is self-defeating, because
+            # the degenerate narrow pairs produce depth-noise-scattered
+            # X whose apparent angles pass the gate
+            inl = np.asarray(res.inliers)
+            q1 = np.asarray(p1, np.float64)[inl]
+            q2 = np.asarray(p2, np.float64)[inl]
+            r1 = np.concatenate([q1, np.ones((len(q1), 1))], axis=1)
+            r2 = np.concatenate([q2, np.ones((len(q2), 1))], axis=1)
+            r1 /= np.linalg.norm(r1, axis=1, keepdims=True)
+            r2 /= np.linalg.norm(r2, axis=1, keepdims=True)
+            r2w = r2 @ np.asarray(res.R, np.float64)  # R^T r2 per row
+            cosang = np.sum(r1 * r2w, axis=1)
+            med = np.degrees(np.arccos(
+                np.clip(np.median(cosang), -1.0, 1.0)))
+            if med < min_tri_angle_deg:
+                if score > best_narrow_score:
+                    best_narrow, best_narrow_score, best_narrow_res = (
+                        (i, j), score, res)
+                continue
+            best, best_score, best_res = (i, j), score, res
+        if best is None and best_narrow is not None:
+            # no pair clears the angle gate: fall back to max inliers
+            best, best_score, best_res = (
+                best_narrow, best_narrow_score, best_narrow_res)
         if best is None:
             raise ValueError("no usable initial pair")
         i, j = best
@@ -238,6 +275,10 @@ class IncrementalSfM:
         batched over a single device call per image pair group."""
         t_start = time.perf_counter()
         reg = set(self.rec.registered)
+        centers = {
+            im: -self.rec.Rs[im].T @ self.rec.ts[im]
+            for im in self.rec.registered
+        }
         jobs = []  # (track_id, im_a, im_b, uv_a, uv_b)
         for tid, tr in enumerate(self.tracks):
             if tid in self.rec.points:
@@ -245,7 +286,18 @@ class IncrementalSfM:
             ims = [im for im in tr if im in reg]
             if len(ims) < 2:
                 continue
-            a, b = ims[0], ims[-1]
+            # widest-baseline registered view pair: track-insertion
+            # order picked near-adjacent ring neighbours whose short
+            # baseline makes depth ill-conditioned (the dominant error
+            # source once camera spacing halves at 120 cams)
+            ims = ims[:8]
+            a, b, best = ims[0], ims[1], -1.0
+            for i in range(len(ims)):
+                for j in range(i + 1, len(ims)):
+                    d = float(np.sum(
+                        (centers[ims[i]] - centers[ims[j]]) ** 2))
+                    if d > best:
+                        a, b, best = ims[i], ims[j], d
             jobs.append((tid, a, b, tr[a], tr[b]))
         if not jobs:
             return
@@ -297,6 +349,15 @@ class IncrementalSfM:
                 ok &= (
                     np.linalg.norm(proj - uvs, axis=1) <= 3 * self.px_thres
                 )
+            # COLMAP-style minimum triangulation angle: short-baseline
+            # points carry unbounded depth noise and poison PnP/BA
+            va = X - centers[a]
+            vb = X - centers[b]
+            cosang = np.sum(va * vb, axis=1) / np.maximum(
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1),
+                1e-12,
+            )
+            ok &= cosang < np.cos(np.deg2rad(self.tri_min_angle_deg))
             for (tid, *_), x, good in zip(js, X, ok):
                 if good:
                     self.rec.points[tid] = x

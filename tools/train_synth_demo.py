@@ -89,6 +89,16 @@ def main():
         "held-out curve (ROUND4_NOTES.md item 7)",
     )
     ap.add_argument(
+        "--ncn_steps", type=int, default=0,
+        help="NCNet weak-supervision pretrain of the consensus filter "
+        "between the backbone warm-up and the matching recipe — the "
+        "reference's ncn_ivd_5ep stage (its NCN is FROZEN during the "
+        "main recipe, train_patch2pix.py:301, so the consensus only "
+        "ever learns here). Round 4 measured this degenerate on "
+        "random features; with the warmed backbone the features are "
+        "matchable and the stage has signal",
+    )
+    ap.add_argument(
         "--train_ncn", action="store_true",
         help="train the NCN too (the reference optimizer covers "
         "regressors + NCN, networks/patch2pix.py:81-91); the demo "
@@ -194,7 +204,10 @@ def main():
             nll = -jnp.take_along_axis(logp, labels[:, :, None], 2)[..., 0]
             okf = ok.astype(jnp.float32)
             loss = jnp.sum(nll * okf) / jnp.maximum(jnp.sum(okf), 1.0)
-            return loss, upd2["batch_stats"]
+            acc = jnp.sum(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32) * okf
+            ) / jnp.maximum(jnp.sum(okf), 1.0)
+            return loss, (upd2["batch_stats"], acc)
 
         @functools.partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
         def warmup_chunk(wstate, pool, n, start):
@@ -203,11 +216,11 @@ def main():
                 batch = jax.tree.map(
                     lambda x: jax.lax.dynamic_index_in_dim(
                         x, i % n_pool, keepdims=False), pool)
-                (loss, new_bs), grads = jax.value_and_grad(
+                (loss, (new_bs, acc)), grads = jax.value_and_grad(
                     warmup_loss, has_aux=True)(params, bs, batch)
                 upd, opt = tx_w.update(grads, opt, params)
                 params = jax.tree.map(lambda p, u: p + u, params, upd)
-                return (params, new_bs, opt), loss
+                return (params, new_bs, opt), (loss, acc)
 
             return jax.lax.scan(body, wstate, start + jnp.arange(n))
 
@@ -216,11 +229,13 @@ def main():
         t0 = time.time()
         while done_w < args.warmup_steps:
             n = min(200, args.warmup_steps - done_w)
-            wstate, wloss = warmup_chunk(wstate, pool_dev, n, jnp.int32(done_w))
+            wstate, (wloss, wacc) = warmup_chunk(
+                wstate, pool_dev, n, jnp.int32(done_w))
             done_w += n
             print(json.dumps({
                 "warmup_step": done_w,
-                "info_nce": float(jnp.mean(wloss[-20:])),
+                "nce_loss": float(jnp.mean(wloss[-20:])),
+                "cell_match_acc": float(jnp.mean(wacc[-20:])),
             }))
         print(json.dumps({"warmup_wall_s": round(time.time() - t0, 1)}))
         # warmed backbone (+BN stats) enters the matching recipe; the
@@ -228,6 +243,37 @@ def main():
         state = TrainState(
             step=jnp.int32(0), params=wstate[0], batch_stats=wstate[1],
             opt_state=tx.init(wstate[0]),
+        )
+
+    # -------------------------------------------- NCN weak pretraining
+    if args.ncn_steps:
+        from patch2pix_tpu.train.ncn_pretrain import make_ncn_pretrain_step
+        from patch2pix_tpu.train.state import TrainState
+
+        nstep, ninit = make_ncn_pretrain_step(model, lr=1e-3, ksize=2)
+        nparams = state.params
+        nopt = ninit(nparams)
+        t0 = time.time()
+        for i in range(args.ncn_steps):
+            b = pool[i % n_pool]
+            neg = pool[(i + 1) % n_pool]
+            batch = {
+                "im_src": jnp.asarray(b["im1"]),
+                "im_pos": jnp.asarray(b["im2"]),
+                "im_neg": jnp.asarray(neg["im1"]),
+            }
+            nparams, nopt, nmetrics = nstep(
+                nparams, state.batch_stats, nopt, batch)
+            if (i + 1) % 50 == 0:
+                print(json.dumps({
+                    "ncn_step": i + 1,
+                    **{k.replace("/", "_"): float(v)
+                       for k, v in nmetrics.items()},
+                }))
+        print(json.dumps({"ncn_wall_s": round(time.time() - t0, 1)}))
+        state = TrainState(
+            step=jnp.int32(0), params=nparams,
+            batch_stats=state.batch_stats, opt_state=tx.init(nparams),
         )
 
     # chunked multi-step: `chunk` optimizer steps run inside ONE jit via
@@ -266,11 +312,19 @@ def main():
         any_conf = jnp.any(conf, axis=1, keepdims=True)
         v = jnp.where(any_conf, conf, fine.valid).astype(jnp.float32)
         # median-ish robust mean: clip at 50 px so misses don't swamp it
-        return jnp.sum(jnp.minimum(d, 50.0) * v) / jnp.maximum(jnp.sum(v), 1.0)
+        fine_px = jnp.sum(jnp.minimum(d, 50.0) * v) / jnp.maximum(
+            jnp.sum(v), 1.0)
+        # coarse-level diagnostic: does the matching FRONT-END improve
+        # even when the regressed metric pins?
+        dc = sampson_dist_batched(cm.coords, F)
+        vc = cm.valid.astype(jnp.float32)
+        coarse_px = jnp.sum(jnp.minimum(dc, 50.0) * vc) / jnp.maximum(
+            jnp.sum(vc), 1.0)
+        return fine_px, coarse_px
 
     os.makedirs(args.out, exist_ok=True)
     chunks = []  # (start_step, stacked device metrics, post-chunk val)
-    val0 = float(val_epi(
+    val0, val0_coarse = (float(v) for v in val_epi(
         state.params, state.batch_stats,
         val_j["im1"], val_j["im2"], val_j["F"],
     ))
@@ -317,10 +371,12 @@ def main():
                 {"step": start + j,
                  **{k.replace("/", "_"): float(v[j]) for k, v in host.items()}}
             )
-        rows[-1]["val_fine_sampson_px"] = float(val_v)
+        rows[-1]["val_fine_sampson_px"] = float(val_v[0])
+        rows[-1]["val_coarse_sampson_px"] = float(val_v[1])
         print(json.dumps(
             {"step": start + n - 1, "loss_pair": rows[-1]["loss_pair"],
-             "val_fine_sampson_px": float(val_v)}
+             "val_fine_sampson_px": float(val_v[0]),
+             "val_coarse_sampson_px": float(val_v[1])}
         ))
     csv_path = os.path.join(args.out, "losses.csv")
     keys = sorted({k for r in rows for k in r})
@@ -345,6 +401,9 @@ def main():
         "epi_fine_first25": win("loss_epi_fine", slice(0, 25)),
         "epi_fine_last25": win("loss_epi_fine", slice(-25, None)),
         "val_sampson_init": val0,
+        "val_coarse_init": val0_coarse,
+        "val_coarse_last": [r["val_coarse_sampson_px"] for r in rows
+                            if "val_coarse_sampson_px" in r][-1],
         "val_sampson_first": [r["val_fine_sampson_px"] for r in rows
                               if "val_fine_sampson_px" in r][0],
         "val_sampson_last": [r["val_fine_sampson_px"] for r in rows
