@@ -35,9 +35,20 @@ def main():
     ap.add_argument("--noise_px", type=float, default=0.4)
     ap.add_argument("--outlier_frac", type=float, default=0.05)
     ap.add_argument("--ba_every", type=int, default=10)
+    ap.add_argument(
+        "--pair_gap", type=int, default=None,
+        help="max ring-step separation of matched pairs; default "
+        "scales with camera count to keep the ANGULAR pair-graph "
+        "connectivity comparable across scene sizes (a 120-camera "
+        "ring at the 50-camera default of 5 steps spans only 15 "
+        "degrees — short-baseline-only connectivity no incremental "
+        "SfM handles well)",
+    )
     ap.add_argument("--out", default="artifacts/sfm_scale")
     ap.add_argument("--no_fake_mesh", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--cell", type=float, default=4.0)
+    ap.add_argument("--min_track_len", type=int, default=2)
     args = ap.parse_args()
 
     if not args.no_fake_mesh:
@@ -60,10 +71,13 @@ def main():
     from patch2pix_tpu.sfm.metrics import ate_rmse
     from patch2pix_tpu.sfm.synthetic import make_scale_scene
 
+    pair_gap = args.pair_gap
+    if pair_gap is None:
+        pair_gap = max(5, round(args.cams / 10))
     t0 = time.time()
     Rs_gt, ts_gt, X_gt, K, pair_matches = make_scale_scene(
         n_cams=args.cams, n_pts=args.pts, noise_px=args.noise_px,
-        outlier_frac=args.outlier_frac,
+        outlier_frac=args.outlier_frac, max_pair_gap=pair_gap,
     )
     n_match = sum(len(m) for m in pair_matches.values())
     t_scene = time.time() - t0
@@ -74,6 +88,7 @@ def main():
     t0 = time.time()
     sfm = IncrementalSfM(
         pair_matches, {i: K for i in range(args.cams)}, px_thres=2.0,
+        cell=args.cell, min_track_len=args.min_track_len,
         log=print if args.verbose else lambda *_: None,
     )
     t_tracks = time.time() - t0

@@ -247,33 +247,65 @@ def main():
 
     # -------------------------------------------- NCN weak pretraining
     if args.ncn_steps:
-        from patch2pix_tpu.train.ncn_pretrain import make_ncn_pretrain_step
+        import optax
+
+        from patch2pix_tpu.train.ncn_pretrain import ncn_weak_loss
         from patch2pix_tpu.train.state import TrainState
 
-        nstep, ninit = make_ncn_pretrain_step(model, lr=1e-3, ksize=2)
-        nparams = state.params
-        nopt = ninit(nparams)
+        tx_n = optax.multi_transform(
+            {"train": optax.adam(1e-3), "frozen": optax.set_to_zero()},
+            lambda params: {
+                k: ("train" if k == "ncn" else "frozen") for k in params
+            },
+        )
+
+        # scan-chunked like the other phases: negatives come from the
+        # NEXT pool slot; everything stays device-resident (a per-step
+        # python loop stalled on relay H2D of ~22 MB per step)
+        @functools.partial(jax.jit, static_argnums=(2,),
+                           donate_argnums=(0,))
+        def ncn_chunk(carry, pool, n, start):
+            def body(c, i):
+                params, opt = c
+                b = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, i % n_pool, keepdims=False), pool)
+                b2 = jax.tree.map(
+                    lambda x: jax.lax.dynamic_index_in_dim(
+                        x, (i + 1) % n_pool, keepdims=False), pool)
+                batch = {"im_src": b["im1"], "im_pos": b["im2"],
+                         "im_neg": b2["im1"]}
+
+                def loss_fn(p):
+                    variables = {
+                        "params": p, "batch_stats": state.batch_stats}
+                    return ncn_weak_loss(model, variables, batch, ksize=2)
+
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                upd, opt = tx_n.update(grads, opt, params)
+                params = optax.apply_updates(params, upd)
+                return (params, opt), metrics
+
+            return jax.lax.scan(body, carry, start + jnp.arange(n))
+
+        carry = (state.params, tx_n.init(state.params))
+        done_n = 0
         t0 = time.time()
-        for i in range(args.ncn_steps):
-            b = pool[i % n_pool]
-            neg = pool[(i + 1) % n_pool]
-            batch = {
-                "im_src": jnp.asarray(b["im1"]),
-                "im_pos": jnp.asarray(b["im2"]),
-                "im_neg": jnp.asarray(neg["im1"]),
-            }
-            nparams, nopt, nmetrics = nstep(
-                nparams, state.batch_stats, nopt, batch)
-            if (i + 1) % 50 == 0:
-                print(json.dumps({
-                    "ncn_step": i + 1,
-                    **{k.replace("/", "_"): float(v)
-                       for k, v in nmetrics.items()},
-                }))
+        while done_n < args.ncn_steps:
+            n = min(100, args.ncn_steps - done_n)
+            carry, nmetrics = ncn_chunk(
+                carry, pool_dev, n, jnp.int32(done_n))
+            done_n += n
+            print(json.dumps({
+                "ncn_step": done_n,
+                **{k.replace("/", "_"): float(jnp.mean(v[-20:]))
+                   for k, v in nmetrics.items()},
+            }))
         print(json.dumps({"ncn_wall_s": round(time.time() - t0, 1)}))
         state = TrainState(
-            step=jnp.int32(0), params=nparams,
-            batch_stats=state.batch_stats, opt_state=tx.init(nparams),
+            step=jnp.int32(0), params=carry[0],
+            batch_stats=state.batch_stats, opt_state=tx.init(carry[0]),
         )
 
     # chunked multi-step: `chunk` optimizer steps run inside ONE jit via
