@@ -144,12 +144,20 @@ def main():
     rs = np.random.RandomState(7)
     pool = [gen_batch(rs) for _ in range(args.pool // args.batch)]
     n_pool = len(pool)
+
+    def fresh_pool():
+        fresh = [gen_batch(rs) for _ in range(n_pool)]
+        return jax.device_put(
+            {k: np.stack([b[k] for b in fresh]) for k in fresh[0]}
+        )
+
     pool_dev = jax.device_put(
         {k: np.stack([b[k] for b in pool]) for k in pool[0]}
     )
-    # held out: same texture statistics, unseen geometry/crops
+    # held out: same texture statistics, unseen geometry/crops (8 pairs
+    # for a steadier metric than one training-sized batch)
     val = synthetic_batch(
-        np.random.RandomState(1234), args.batch, args.ht, args.wt,
+        np.random.RandomState(1234), 8, args.ht, args.wt,
         texture_pool=texture_pool,
     )
     val_j = {k: jnp.asarray(v) for k, v in val.items()}
@@ -228,9 +236,14 @@ def main():
         done_w = 0
         t0 = time.time()
         while done_w < args.warmup_steps:
-            n = min(200, args.warmup_steps - done_w)
+            n = min(100, args.warmup_steps - done_w)
             wstate, (wloss, wacc) = warmup_chunk(
                 wstate, pool_dev, n, jnp.int32(done_w))
+            if args.refresh_pool:
+                # fresh pairs each chunk: a fixed 64-pair pool is
+                # memorised within a few hundred InfoNCE steps and the
+                # warmed features stop generalising to held-out pairs
+                pool_dev = fresh_pool()
             done_w += n
             print(json.dumps({
                 "warmup_step": done_w,
@@ -296,6 +309,8 @@ def main():
             n = min(100, args.ncn_steps - done_n)
             carry, nmetrics = ncn_chunk(
                 carry, pool_dev, n, jnp.int32(done_n))
+            if args.refresh_pool:
+                pool_dev = fresh_pool()
             done_n += n
             print(json.dumps({
                 "ncn_step": done_n,
@@ -352,11 +367,20 @@ def main():
         vc = cm.valid.astype(jnp.float32)
         coarse_px = jnp.sum(jnp.minimum(dc, 50.0) * vc) / jnp.maximum(
             jnp.sum(vc), 1.0)
-        return fine_px, coarse_px
+        # regressor-generalisation diagnostic: fine error over the
+        # FIXABLE set (coarse error within the two regressors' +-16 px
+        # correction range, parse_regressor_out's psize*tanh clamp) —
+        # front-end misses beyond that range are unfixable by design
+        # and belong to the coarse metric, not the regressors
+        fx = (dc < 16.0).astype(jnp.float32) * fine.valid.astype(
+            jnp.float32)
+        fine_fixable_px = jnp.sum(jnp.minimum(d, 50.0) * fx) / jnp.maximum(
+            jnp.sum(fx), 1.0)
+        return fine_px, coarse_px, fine_fixable_px
 
     os.makedirs(args.out, exist_ok=True)
     chunks = []  # (start_step, stacked device metrics, post-chunk val)
-    val0, val0_coarse = (float(v) for v in val_epi(
+    val0, val0_coarse, val0_fixable = (float(v) for v in val_epi(
         state.params, state.batch_stats,
         val_j["im1"], val_j["im2"], val_j["F"],
     ))
@@ -405,10 +429,12 @@ def main():
             )
         rows[-1]["val_fine_sampson_px"] = float(val_v[0])
         rows[-1]["val_coarse_sampson_px"] = float(val_v[1])
+        rows[-1]["val_fine_fixable_px"] = float(val_v[2])
         print(json.dumps(
             {"step": start + n - 1, "loss_pair": rows[-1]["loss_pair"],
              "val_fine_sampson_px": float(val_v[0]),
-             "val_coarse_sampson_px": float(val_v[1])}
+             "val_coarse_sampson_px": float(val_v[1]),
+             "val_fine_fixable_px": float(val_v[2])}
         ))
     csv_path = os.path.join(args.out, "losses.csv")
     keys = sorted({k for r in rows for k in r})
@@ -434,12 +460,17 @@ def main():
         "epi_fine_last25": win("loss_epi_fine", slice(-25, None)),
         "val_sampson_init": val0,
         "val_coarse_init": val0_coarse,
+        "val_fixable_init": val0_fixable,
         "val_coarse_last": [r["val_coarse_sampson_px"] for r in rows
                             if "val_coarse_sampson_px" in r][-1],
         "val_sampson_first": [r["val_fine_sampson_px"] for r in rows
                               if "val_fine_sampson_px" in r][0],
         "val_sampson_last": [r["val_fine_sampson_px"] for r in rows
                              if "val_fine_sampson_px" in r][-1],
+        "val_fixable_first": [r["val_fine_fixable_px"] for r in rows
+                              if "val_fine_fixable_px" in r][0],
+        "val_fixable_last": [r["val_fine_fixable_px"] for r in rows
+                             if "val_fine_fixable_px" in r][-1],
     }
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=2)
@@ -472,7 +503,13 @@ def main():
         axes[1].legend()
         vs = [(r["step"], r["val_fine_sampson_px"]) for r in rows
               if "val_fine_sampson_px" in r]
-        axes[2].plot([s for s, _ in vs], [v for _, v in vs], marker="o")
+        axes[2].plot([s for s, _ in vs], [v for _, v in vs], marker="o",
+                     label="all (conf-gated)")
+        fxs = [(r["step"], r["val_fine_fixable_px"]) for r in rows
+               if "val_fine_fixable_px" in r]
+        axes[2].plot([s for s, _ in fxs], [v for _, v in fxs], marker="s",
+                     label="fixable (coarse<16px)")
+        axes[2].legend()
         axes[2].set_title("held-out fine sampson (px, clipped@50)")
         for ax in axes:
             ax.set_xlabel("step")
